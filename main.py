@@ -1,0 +1,91 @@
+"""Entry point: train / sweep / inference over the NeuroViT-TPU framework.
+
+CLI-compatible rebuild of the reference's ``main.py``:
+``python main.py [name] [--cuda N] [--wandb bool] [--inference] [--sweep]``
+plus ``--config`` to select config4D.yaml etc. (the reference requires
+editing config.yaml in place, README.md:88-91).
+"""
+
+import os
+import warnings
+
+import jax
+import numpy as np
+
+from neurovit_tpu.config import get_config, parse_args
+from neurovit_tpu.data import get_datasets
+from neurovit_tpu.models import NeuroEncoder
+from neurovit_tpu.training import MetricLogger, Trainer
+from neurovit_tpu.training import checkpoint as ckpt
+
+
+def set_seeds(config):
+    """Seed numpy (host-side shuffles); JAX keys derive from TRAINING_SEED
+    inside the Trainer (reference seeds torch+numpy, main.py:86-88)."""
+    np.random.seed(config["TRAINING_SEED"])
+
+
+def build(config):
+    set_seeds(config)
+    dataset_train, dataset_val = get_datasets(config)
+    model = NeuroEncoder(config)
+    variables = model.init(jax.random.key(config["TRAINING_SEED"]))
+    if model.is_4d:
+        # Bootstrap the frozen volume encoder from the best 3D checkpoint
+        # (reference NeuroEncoder.py:25-32).
+        best = os.path.join(config["GLOBAL_BASE_PATH"],
+                            config["BEST_MODEL_PATH"])
+        if os.path.exists(best):
+            variables["params"] = ckpt.load_pretrained_volume_encoder(
+                model, variables["params"], best)
+            print(f"Loaded frozen volume encoder from {best}")
+        else:
+            print(f"WARNING: BEST_MODEL_PATH {best} not found; "
+                  f"4D volume encoder starts from random init")
+    return dataset_train, dataset_val, model, variables
+
+
+def main():
+    warnings.simplefilter(action="ignore", category=FutureWarning)
+    args = parse_args()
+    config = get_config(args)
+
+    if not config["INFERENCE"] and not config["SWEEP"]:
+        print("Training mode enabled.")
+        logger = MetricLogger(config)
+        dataset_train, dataset_val, model, variables = build(config)
+        trainer = Trainer(config, model, dataset_train, dataset_val,
+                          variables=variables, logger=logger)
+        trainer.run()
+        logger.finish()
+
+    elif config["SWEEP"]:
+        print("Sweep mode enabled.")
+        from neurovit_tpu.training.sweep import run_sweep
+
+        def train_fn(sweep_config):
+            ds_train, ds_val, model, variables = build(sweep_config)
+            trainer = Trainer(sweep_config, model, ds_train, ds_val,
+                              variables=variables)
+            trainer.run()
+            return {"val_loss": trainer.val_loss}
+
+        sweep_path = os.path.join(config["GLOBAL_BASE_PATH"],
+                                  "configs/sweep.yaml")
+        best = run_sweep(config, train_fn, sweep_path, count=50)
+        print(f"Sweep finished: best={best}")
+
+    else:
+        print("Training is disabled. Inference only.")
+        dataset_train, dataset_val, model, variables = build(config)
+        best = os.path.join(config["GLOBAL_BASE_PATH"],
+                            config["BEST_MODEL_PATH"])
+        variables["params"] = ckpt.load_state_dict_file(
+            model, variables["params"], best, strict=False)
+        trainer = Trainer(config, model, dataset_train, dataset_val,
+                          variables=variables)
+        trainer.evaluate_samples()
+
+
+if __name__ == "__main__":
+    main()

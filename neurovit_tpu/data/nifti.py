@@ -1,0 +1,137 @@
+"""Minimal NIfTI-1 reader/writer (pure numpy, no nibabel dependency).
+
+The reference reads fMRI volumes with nibabel/nilearn (``DatasetADNI.py:211``,
+``DatasetPain.py:186``). This environment has neither, so the framework ships
+its own NIfTI-1 codec with the two access patterns the pipeline needs:
+
+- ``load(path)``: header + lazy data handle. For uncompressed files the data
+  is **memory-mapped**, so slicing one timepoint out of a 4D series reads
+  only that timepoint from disk (the reference's lazy ``dataobj[...]``
+  pattern, and the fix for its PainDataset eager-read hot spot,
+  SURVEY §2.1.12).
+- ``save(path, array)``: write a float32 NIfTI-1 file (identity affine),
+  used by visualization/Grad-CAM export.
+
+Supports .nii and .nii.gz (gz decompressed to memory). Only the fields the
+pipeline touches are implemented: dims, dtype, vox_offset, scl_slope/inter.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from typing import Tuple
+
+import numpy as np
+
+_HDR_SIZE = 348
+_MAGIC_OFFSET = 344
+
+# NIfTI datatype codes -> numpy dtypes (the subset seen in fMRI practice).
+_DTYPES = {
+    2: np.uint8, 4: np.int16, 8: np.int32, 16: np.float32,
+    64: np.float64, 256: np.int8, 512: np.uint16, 768: np.uint32,
+}
+_DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+class NiftiImage:
+    """Lazy NIfTI-1 image: header fields + a ``dataobj`` that supports numpy
+    basic indexing without loading the full array (for .nii via memmap)."""
+
+    def __init__(self, shape: Tuple[int, ...], dataobj, scl_slope: float,
+                 scl_inter: float, byteorder: str):
+        self.shape = shape
+        self.dataobj = dataobj
+        self.scl_slope = scl_slope
+        self.scl_inter = scl_inter
+        self.byteorder = byteorder
+
+    def get_fdata(self, dtype=np.float64) -> np.ndarray:
+        data = np.asarray(self.dataobj).astype(dtype)
+        if self.scl_slope not in (0.0, 1.0) or self.scl_inter != 0.0:
+            slope = self.scl_slope if self.scl_slope != 0.0 else 1.0
+            data = data * slope + self.scl_inter
+        return data
+
+
+def _parse_header(hdr: bytes):
+    sizeof_hdr = struct.unpack("<i", hdr[0:4])[0]
+    bo = "<"
+    if sizeof_hdr != _HDR_SIZE:
+        sizeof_hdr = struct.unpack(">i", hdr[0:4])[0]
+        if sizeof_hdr != _HDR_SIZE:
+            raise ValueError("Not a NIfTI-1 file (bad sizeof_hdr)")
+        bo = ">"
+    magic = hdr[_MAGIC_OFFSET:_MAGIC_OFFSET + 4]
+    if magic[:2] not in (b"n+", b"ni"):
+        raise ValueError(f"Not a NIfTI-1 file (magic={magic!r})")
+    dim = struct.unpack(bo + "8h", hdr[40:56])
+    ndim = dim[0]
+    shape = tuple(int(d) for d in dim[1:1 + ndim])
+    datatype = struct.unpack(bo + "h", hdr[70:72])[0]
+    vox_offset = int(struct.unpack(bo + "f", hdr[108:112])[0])
+    scl_slope = struct.unpack(bo + "f", hdr[112:116])[0]
+    scl_inter = struct.unpack(bo + "f", hdr[116:120])[0]
+    if datatype not in _DTYPES:
+        raise ValueError(f"Unsupported NIfTI datatype code {datatype}")
+    dtype = np.dtype(_DTYPES[datatype]).newbyteorder(bo)
+    return shape, dtype, vox_offset, scl_slope, scl_inter, bo
+
+
+def peek_shape(path: str) -> Tuple[int, ...]:
+    """Header-only shape read (348 bytes)."""
+    if path.endswith(".gz"):
+        with gzip.open(path, "rb") as f:
+            hdr = f.read(_HDR_SIZE)
+    else:
+        with open(path, "rb") as f:
+            hdr = f.read(_HDR_SIZE)
+    return _parse_header(hdr)[0]
+
+
+def load(path: str) -> NiftiImage:
+    """Load a .nii / .nii.gz file lazily (memmap for uncompressed)."""
+    if path.endswith(".gz"):
+        with gzip.open(path, "rb") as f:
+            raw = f.read()
+        shape, dtype, off, slope, inter, bo = _parse_header(raw[:_HDR_SIZE])
+        count = int(np.prod(shape))
+        data = np.frombuffer(raw, dtype=dtype, count=count, offset=off)
+        # NIfTI data is Fortran-ordered on disk.
+        dataobj = data.reshape(shape, order="F")
+    else:
+        with open(path, "rb") as f:
+            hdr = f.read(_HDR_SIZE)
+        shape, dtype, off, slope, inter, bo = _parse_header(hdr)
+        mm = np.memmap(path, dtype=dtype, mode="r", offset=off,
+                       shape=shape, order="F")
+        dataobj = mm
+    return NiftiImage(shape, dataobj, slope, inter, bo)
+
+
+def save(path: str, array: np.ndarray) -> None:
+    """Write a float32 NIfTI-1 single file with identity affine."""
+    array = np.asarray(array, dtype=np.float32)
+    hdr = bytearray(_HDR_SIZE)
+    struct.pack_into("<i", hdr, 0, _HDR_SIZE)
+    dim = [array.ndim] + list(array.shape) + [1] * (7 - array.ndim)
+    struct.pack_into("<8h", hdr, 40, *dim)
+    struct.pack_into("<h", hdr, 70, _DTYPE_CODES[np.dtype(np.float32)])
+    struct.pack_into("<h", hdr, 72, 32)             # bitpix
+    pixdim = [1.0] * 8
+    struct.pack_into("<8f", hdr, 76, *pixdim)
+    struct.pack_into("<f", hdr, 108, 352.0)          # vox_offset
+    struct.pack_into("<f", hdr, 112, 1.0)            # scl_slope
+    struct.pack_into("<f", hdr, 116, 0.0)            # scl_inter
+    # sform identity (sform_code=1) so viewers get an affine.
+    struct.pack_into("<h", hdr, 254, 1)
+    struct.pack_into("<4f", hdr, 280, 1.0, 0.0, 0.0, 0.0)
+    struct.pack_into("<4f", hdr, 296, 0.0, 1.0, 0.0, 0.0)
+    struct.pack_into("<4f", hdr, 312, 0.0, 0.0, 1.0, 0.0)
+    hdr[_MAGIC_OFFSET:_MAGIC_OFFSET + 4] = b"n+1\x00"
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(b"\x00" * 4)                         # pad to vox_offset 352
+        f.write(np.asfortranarray(array).tobytes(order="F"))

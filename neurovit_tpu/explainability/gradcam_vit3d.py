@@ -1,0 +1,104 @@
+"""G3D-ViT Grad-CAM: attention-gradient class activation maps, hook-free.
+
+Re-implements the reference's ``NeuroEncoder.get_attention_map`` /
+``visualize_slice`` (``src/models/NeuroEncoder.py:84-168``) and the plotting
+driver (``explainability/xAi_gradcam_ViT3D/gradcam3DViT_fmris.py``).
+
+The reference captures the LayerNorm activations inside the last attention
+block with forward/backward hooks and a one-hot ``backward()``
+(NeuroEncoder.py:70-82,94-98). Hooks don't exist in functional JAX — instead
+the ViT forward exposes a **probe**: a zeros tensor added exactly at that
+LayerNorm output. ``jax.vjp`` w.r.t. the probe yields the hook gradients;
+the forward returns the activations. The whole CAM pipeline (weights = grad
+mean over features, weighted activation sum, CLS drop, reshape to the patch
+grid, ReLU, min-max norm, percentile threshold, trilinear upsample —
+NeuroEncoder.py:103-131) runs as one jitted function on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _attention_map_jit(model, params: Dict, x: jax.Array,
+                       threshold: float) -> Tuple[jax.Array, jax.Array]:
+    """x: [B, H, W, D] -> (cam [B, grid, grid, grid] f32, class_idx [B])."""
+    grid = model.vit_cfg.image_size
+    patch = model.vit_cfg.image_patch_size
+    n_tokens = model.vit_cfg.num_patches + 1
+    b = x.shape[0]
+    probe_zero = jnp.zeros((b, n_tokens, model.vit_cfg.dim), jnp.float32)
+
+    def fwd(shift):
+        logits, aux = model.apply(params, x, deterministic=True,
+                                  probe_shift=shift)
+        return logits, aux["probe"].astype(jnp.float32)
+
+    (logits, activations), vjp_fn = jax.vjp(fwd, probe_zero)
+    class_idx = jnp.argmax(logits, axis=1)
+    one_hot = jax.nn.one_hot(class_idx, logits.shape[-1], dtype=logits.dtype)
+    (gradients,) = vjp_fn((one_hot, jnp.zeros_like(activations)))
+
+    # Grad-CAM weights: mean gradient over the feature dim (NeuroEncoder.py:103).
+    weights = jnp.mean(gradients, axis=2, keepdims=True)
+    cam = jnp.sum(weights * activations, axis=2)      # [B, tokens]
+    cam = cam[:, 1:]                                  # drop CLS (…:112)
+    cs = grid // patch
+    cam = cam.reshape(b, cs, cs, cs)
+    cam = jax.nn.relu(cam)
+    cam = (cam - cam.min()) / (cam.max() - cam.min() + 1e-8)   # (…:120)
+    # Keep the top `threshold`% voxels (np.percentile(cam, 100-t), …:121-123).
+    threshold_value = jnp.percentile(cam, 100.0 - threshold)
+    cam = jnp.where(cam >= threshold_value, cam, 0.0)
+    # Trilinear upsample with half-pixel centers == F.interpolate(mode=
+    # 'trilinear', align_corners=False) (…:126-131).
+    cam_3d = jax.image.resize(cam, (b, grid, grid, grid), method="trilinear")
+    return cam_3d, class_idx
+
+
+def get_attention_map(model, variables: Dict, x) -> Tuple[np.ndarray, np.ndarray]:
+    """API parity with NeuroEncoder.get_attention_map (x: [B,H,W,D]).
+
+    Returns (cam_3d, class_idx); for B=1 the cam is squeezed to [grid]^3,
+    matching the reference's ``.squeeze()``.
+    """
+    params = variables["params"] if "params" in variables else variables
+    x = jnp.asarray(x, jnp.float32)
+    squeeze = False
+    if x.ndim == 3:
+        x, squeeze = x[None], True
+    cam, class_idx = _attention_map_jit(
+        model, params, x, float(model.config["GRADCAM_THRESHOLD"]))
+    cam = np.asarray(cam)
+    if squeeze or cam.shape[0] == 1:
+        cam = cam[0]
+    return cam, np.asarray(class_idx)
+
+
+def visualize_slice(config: Dict, cam_3d, original_volume):
+    """Extract the (image, attention) slice pair along GRADCAM_SLICE_DIM at
+    GRADCAM_SLICE_IDX (NeuroEncoder.py:135-168)."""
+    slice_dim = config["GRADCAM_SLICE_DIM"]
+    slice_idx = config["GRADCAM_SLICE_IDX"]
+    if cam_3d is None:
+        print("Error: No CAM computed")
+        return None
+    original = np.asarray(original_volume).squeeze()
+    cam_3d = np.asarray(cam_3d)
+    if original.ndim != 3 or cam_3d.ndim != 3:
+        print(f"Shape mismatch: original {original.shape}, CAM {cam_3d.shape}")
+        return None
+    if slice_dim == 0:      # Sagittal
+        return original[slice_idx], cam_3d[slice_idx]
+    if slice_dim == 1:      # Coronal
+        return original[:, slice_idx], cam_3d[:, slice_idx]
+    if slice_dim == 2:      # Axial
+        return original[:, :, slice_idx], cam_3d[:, :, slice_idx]
+    print(f"Invalid slice dimension: {slice_dim}")
+    return None

@@ -1,0 +1,199 @@
+"""NeuroEncoder: top-level 3D/4D fMRI classification model.
+
+Re-implements the reference's ``src/models/NeuroEncoder.py`` as functional
+JAX with an explicit parameter pytree:
+
+- auto 3D/4D mode on ``TRAINING_DIM`` (NeuroEncoder.py:23,51,53),
+- 3D: a volume encoder — the 3D ViT (NeuroEncoder.py:21,171-205) or,
+  optionally, the 3D ResNet the reference left unwired ("Could use ResNet3D
+  instead", NeuroEncoder.py:21) via MODEL_VOLUME_ENCODER: resnet,
+- 4D: permute [B,H,W,D,T] -> [B,T,H,W,D], fold T into batch, encode every
+  volume with a **frozen** pre-trained ViT3D (bootstrapped from
+  BEST_MODEL_PATH with ``volume_encoder.vit3d.`` key filtering,
+  NeuroEncoder.py:25-36), reshape to [B,T,enc], 1-layer TemporalTransformer,
+  mean-pool over T, ProjectionHead -> 2 logits (NeuroEncoder.py:53-66).
+  Freezing is ``stop_gradient`` + an optimizer mask (no torch-style
+  requires_grad). Note quirk SURVEY §2.1.7: the per-volume "encoding" is the
+  frozen ViT's 2-dim logit vector, reproduced faithfully.
+- Grad-CAM: instead of forward/backward hooks (NeuroEncoder.py:70-82), the
+  ViT forward exposes a probe at the last attention block's LayerNorm, and
+  ``get_attention_map`` obtains activations + gradients via ``jax.vjp``
+  (see explainability/gradcam_vit3d.py) — hook-free and jit-clean.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neurovit_tpu.models import resnet3d, temporal, vit3d
+from neurovit_tpu.ops import resolve_impl
+
+
+class NeuroEncoder:
+    """Model definition object: holds static configs, builds/applies pytrees.
+
+    Parameters live outside the object (pure-functional); the object itself
+    is hashable/static and safe to close over in jitted functions.
+    """
+
+    def __init__(self, config: Dict[str, Any]):
+        self.config = config
+        grid = config["TRAINING_VIT_INPUT_SIZE"]
+        patch = config["TRAINING_VIT_PATCH_SIZE"]
+        cube = config.get("GRADCAM_CUBE_SIZE", 8)
+        # (grid/cube)^3 positional classes for the synthetic cube task, else
+        # binary (NeuroEncoder.py:179).
+        self.num_classes = ((grid // cube) ** 3
+                            if config["DATASET_NAME"] == "gradcam" else 2)
+        self.is_4d = config["TRAINING_DIM"] == 4
+        self.encoder_kind = config.get("MODEL_VOLUME_ENCODER", "vit")
+        impl = resolve_impl(config.get("KERNEL_IMPL", "auto"))
+        dropout = config.get("TRAINING_DROPOUT", 0.0)
+
+        self.vit_cfg = vit3d.ViTConfig(
+            image_size=grid,
+            image_patch_size=patch,
+            frames=grid,
+            frame_patch_size=patch,
+            num_classes=self.num_classes,
+            dim=config.get("MODEL_VIT_DIM", 1024),
+            depth=config.get("MODEL_VIT_DEPTH", 6),
+            heads=config.get("MODEL_VIT_HEADS", 8),
+            dim_head=config.get("MODEL_VIT_DIM_HEAD", 64),
+            mlp_dim=config.get("MODEL_VIT_MLP_DIM", 2048),
+            channels=1,
+            pool=config.get("MODEL_VIT_POOL", "cls"),
+            dropout=dropout,
+            emb_dropout=dropout,
+            impl=impl,
+            remat=bool(config.get("TRAINING_REMAT", False)),
+        )
+        self.resnet_cfg = resnet3d.ResNetConfig(
+            depth=config.get("MODEL_RESNET_DEPTH", 18),
+            n_input_channels=1,
+            n_classes=self.num_classes,
+        )
+        self.temporal_cfg = temporal.TemporalConfig(
+            d_model=self.num_classes, nhead=2, num_layers=1, impl=impl)
+        precision = config.get("TRAINING_PRECISION", "bf16")
+        self.compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+    # -- init ---------------------------------------------------------------
+
+    def init(self, key: jax.Array) -> Dict[str, Any]:
+        """Build {"params": ..., "state": ...} (state = BN stats, ViT: empty)."""
+        k_vol, k_temp, k_proj = jax.random.split(key, 3)
+        if self.encoder_kind == "resnet":
+            vol = resnet3d.init(k_vol, self.resnet_cfg)
+            params = {"volume_encoder": vol["params"]}
+            state = {"volume_encoder": vol["state"]}
+        else:
+            params = {"volume_encoder": vit3d.init(k_vol, self.vit_cfg)}
+            state = {"volume_encoder": {}}
+        if self.is_4d:
+            params["temporal"] = temporal.init(k_temp, self.temporal_cfg)
+            params["projection"] = temporal.init_projection_head(
+                k_proj, self.num_classes, self.num_classes)
+        return {"params": params, "state": state}
+
+    # -- forward ------------------------------------------------------------
+
+    def encode_volume(self, params, state, volumes, *, deterministic=True,
+                      rng=None, train=False, probe_shift=None):
+        """[B, H, W, D] -> (logits [B, num_classes], new_state, probe_act).
+
+        Matches ViT3DEncoder.forward (NeuroEncoder.py:197-205): permute
+        [B,H,W,D] -> [B,D,H,W], add a channel axis, run the 3D encoder.
+        """
+        x = volumes.transpose(0, 3, 1, 2)[:, None]  # [B, 1, D, H, W]
+        if self.encoder_kind == "resnet":
+            logits, new_state = resnet3d.apply(
+                params["volume_encoder"], state["volume_encoder"],
+                x.astype(self.compute_dtype), self.resnet_cfg, train=train)
+            return logits, {"volume_encoder": new_state}, None
+        logits, probe_act = vit3d.apply(
+            params["volume_encoder"], x, self.vit_cfg,
+            deterministic=deterministic, rng=rng, probe_shift=probe_shift,
+            compute_dtype=self.compute_dtype)
+        return logits, state, probe_act
+
+    def apply(self, params: Dict, x: jax.Array, *,
+              state: Optional[Dict] = None,
+              deterministic: bool = True,
+              rng: Optional[jax.Array] = None,
+              train: bool = False,
+              probe_shift: Optional[jax.Array] = None
+              ) -> Tuple[jax.Array, Dict[str, Any]]:
+        """Forward pass -> (logits [B, num_classes], aux).
+
+        3D: x is [B, H, W, D].   4D: x is [B, H, W, D, T].
+        aux = {"state": new_model_state, "probe": last-LN activation or None}.
+        """
+        state = state if state is not None else {"volume_encoder": {}}
+        if not self.is_4d:
+            logits, new_state, probe = self.encode_volume(
+                params, state, x, deterministic=deterministic, rng=rng,
+                train=train, probe_shift=probe_shift)
+            return logits, {"state": new_state, "probe": probe}
+
+        # ---- 4D: fold T into the batch dim (NeuroEncoder.py:53-66) --------
+        b, h, w, d, t = x.shape
+        volumes = x.transpose(0, 4, 1, 2, 3).reshape(b * t, h, w, d)
+        # Frozen + eval()'d volume encoder (NeuroEncoder.py:34-36):
+        frozen = jax.lax.stop_gradient(
+            {"volume_encoder": params["volume_encoder"]})
+        enc, new_state, probe = self.encode_volume(
+            frozen, state, volumes, deterministic=True, rng=None,
+            train=False, probe_shift=probe_shift)
+        enc = enc.astype(self.compute_dtype).reshape(b, t, self.num_classes)
+        enc = temporal.apply(params["temporal"], enc, self.temporal_cfg,
+                             deterministic=deterministic, rng=rng)
+        pooled = jnp.mean(enc, axis=1)               # mean over T
+        from neurovit_tpu import nn as _nn
+        logits = _nn.linear(params["projection"], pooled).astype(jnp.float32)
+        return logits, {"state": new_state, "probe": probe}
+
+    # -- training support ---------------------------------------------------
+
+    def trainable_mask(self, params: Dict) -> Dict:
+        """Pytree of bools: False for the frozen volume encoder in 4D mode
+        (optimizer-mask equivalent of requires_grad=False,
+        NeuroEncoder.py:34-36)."""
+        def mask_subtree(subtree, value):
+            return jax.tree.map(lambda _: value, subtree)
+        return {
+            key: mask_subtree(sub, not (self.is_4d and key == "volume_encoder"))
+            for key, sub in params.items()
+        }
+
+    def param_count(self, params: Dict) -> Tuple[int, int]:
+        """(total, trainable) parameter counts (Trainer.py:36-38 banner)."""
+        sizes = jax.tree.map(lambda x: int(x.size), params)
+        mask = self.trainable_mask(params)
+        total = sum(jax.tree.leaves(sizes))
+        trainable = sum(s for s, m in zip(jax.tree.leaves(sizes),
+                                          jax.tree.leaves(mask)) if m)
+        return total, trainable
+
+    # -- explainability (API parity with NeuroEncoder.get_attention_map) ----
+
+    def get_attention_map(self, variables: Dict, x: jax.Array):
+        from neurovit_tpu.explainability.gradcam_vit3d import get_attention_map
+        return get_attention_map(self, variables, x)
+
+    def visualize_slice(self, cam_3d, original_volume):
+        from neurovit_tpu.explainability.gradcam_vit3d import visualize_slice
+        return visualize_slice(self.config, cam_3d, original_volume)
+
+    def __hash__(self):
+        return hash((self.vit_cfg, self.resnet_cfg, self.temporal_cfg,
+                     self.is_4d, self.encoder_kind, self.num_classes,
+                     str(self.compute_dtype)))
+
+    def __eq__(self, other):
+        return (isinstance(other, NeuroEncoder)
+                and hash(self) == hash(other))

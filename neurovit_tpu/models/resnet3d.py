@@ -1,0 +1,296 @@
+"""3D ResNet baseline, pure-functional JAX with explicit BatchNorm state.
+
+Re-implements the reference's Kensho-Hara-style 3D ResNet
+(``src/models/resnet_3d.py``): stem Conv3d(k=(t,7,7), stride=(s,2,2)) + BN +
+ReLU + MaxPool3d(3,2,1) (resnet_3d.py:116-124), four stages of BasicBlock
+(expansion 1) or Bottleneck (expansion 4) with inplanes [64,128,256,512] x
+widen_factor, shortcut type 'A' (strided subsample + channel zero-pad,
+resnet_3d.py:155-164) or 'B' (1x1x1 conv + BN), AdaptiveAvgPool3d(1) +
+Linear head, Kaiming-normal(fan_out, relu) conv init and BN(1, 0) init
+(resnet_3d.py:146-153). ``generate_model`` depths {10,18,34,50,101,152,200}
+(resnet_3d.py:210-227).
+
+3D convs lower onto the MXU via ``lax.conv_general_dilated`` (XLA tiles 3D
+convs well); BatchNorm running stats live in an explicit ``state`` pytree
+(momentum 0.1, eps 1e-5 — torch defaults), updated functionally in train mode.
+
+Layout is NCDHW to match the reference's tensor semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neurovit_tpu import nn
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+
+BLOCK_LAYOUTS = {
+    # depth: (block kind, per-stage block counts)   resnet_3d.py:210-227
+    10: ("basic", (1, 1, 1, 1)),
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+    200: ("bottleneck", (3, 24, 36, 3)),
+}
+
+STAGE_PLANES = (64, 128, 256, 512)  # get_inplanes(), resnet_3d.py:7-8
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNetConfig:
+    depth: int = 18
+    n_input_channels: int = 3
+    conv1_t_size: int = 7
+    conv1_t_stride: int = 1
+    no_max_pool: bool = False
+    shortcut_type: str = "B"
+    widen_factor: float = 1.0
+    n_classes: int = 400
+
+    def __post_init__(self):
+        assert self.depth in BLOCK_LAYOUTS, f"unsupported depth {self.depth}"
+        assert self.shortcut_type in ("A", "B")
+
+    @property
+    def block_kind(self) -> str:
+        return BLOCK_LAYOUTS[self.depth][0]
+
+    @property
+    def stage_blocks(self) -> Sequence[int]:
+        return BLOCK_LAYOUTS[self.depth][1]
+
+    @property
+    def expansion(self) -> int:
+        return 1 if self.block_kind == "basic" else 4
+
+    @property
+    def stage_planes(self) -> Sequence[int]:
+        return [int(p * self.widen_factor) for p in STAGE_PLANES]
+
+
+# --------------------------------------------------------------------------
+# Primitive init/apply
+# --------------------------------------------------------------------------
+
+def _conv_init(key, in_ch, out_ch, ksize: Tuple[int, int, int], dtype):
+    """Kaiming-normal fan_out/relu (resnet_3d.py:148-150). OIDHW layout."""
+    fan_out = out_ch * ksize[0] * ksize[1] * ksize[2]
+    std = (2.0 / fan_out) ** 0.5
+    return {"kernel": jax.random.normal(
+        key, (out_ch, in_ch) + tuple(ksize), dtype) * std}
+
+
+def _bn_init(ch, dtype):
+    params = {"scale": jnp.ones((ch,), dtype), "bias": jnp.zeros((ch,), dtype)}
+    state = {"mean": jnp.zeros((ch,), jnp.float32),
+             "var": jnp.ones((ch,), jnp.float32)}
+    return params, state
+
+
+def conv3d(params, x, *, stride=(1, 1, 1), padding=(0, 0, 0)):
+    return jax.lax.conv_general_dilated(
+        x, params["kernel"].astype(x.dtype),
+        window_strides=stride,
+        padding=[(p, p) for p in padding],
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        preferred_element_type=jnp.float32,
+        precision=nn.matmul_precision(x.dtype),
+    ).astype(x.dtype)
+
+
+def batch_norm(params, state, x, *, train: bool):
+    """BatchNorm3d over N,D,H,W per channel; returns (y, new_state)."""
+    xf = x.astype(jnp.float32)
+    if train:
+        mean = jnp.mean(xf, axis=(0, 2, 3, 4))
+        var = jnp.var(xf, axis=(0, 2, 3, 4))
+        n = x.shape[0] * x.shape[2] * x.shape[3] * x.shape[4]
+        # torch tracks the *unbiased* variance in running stats.
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    shape = (1, -1, 1, 1, 1)
+    y = (xf - mean.reshape(shape)) * jax.lax.rsqrt(var.reshape(shape) + BN_EPS)
+    y = y * params["scale"].astype(jnp.float32).reshape(shape) \
+        + params["bias"].astype(jnp.float32).reshape(shape)
+    return y.astype(x.dtype), new_state
+
+
+def max_pool3d(x, ksize=3, stride=2, padding=1):
+    pads = [(0, 0), (0, 0)] + [(padding, padding)] * 3
+    return jax.lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, 1, ksize, ksize, ksize),
+        window_strides=(1, 1, stride, stride, stride),
+        padding=pads)
+
+
+# --------------------------------------------------------------------------
+# Blocks
+# --------------------------------------------------------------------------
+
+def _init_basic_block(key, in_planes, planes, stride, cfg, dtype):
+    k1, k2, kd = jax.random.split(key, 3)
+    conv1 = _conv_init(k1, in_planes, planes, (3, 3, 3), dtype)
+    bn1_p, bn1_s = _bn_init(planes, dtype)
+    conv2 = _conv_init(k2, planes, planes, (3, 3, 3), dtype)
+    bn2_p, bn2_s = _bn_init(planes, dtype)
+    params = {"conv1": conv1, "bn1": bn1_p, "conv2": conv2, "bn2": bn2_p}
+    state = {"bn1": bn1_s, "bn2": bn2_s}
+    _add_downsample(params, state, kd, in_planes, planes, stride, cfg, dtype)
+    return params, state
+
+
+def _init_bottleneck(key, in_planes, planes, stride, cfg, dtype):
+    k1, k2, k3, kd = jax.random.split(key, 4)
+    out_planes = planes * 4
+    params, state = {}, {}
+    params["conv1"] = _conv_init(k1, in_planes, planes, (1, 1, 1), dtype)
+    params["bn1"], state["bn1"] = _bn_init(planes, dtype)
+    params["conv2"] = _conv_init(k2, planes, planes, (3, 3, 3), dtype)
+    params["bn2"], state["bn2"] = _bn_init(planes, dtype)
+    params["conv3"] = _conv_init(k3, planes, out_planes, (1, 1, 1), dtype)
+    params["bn3"], state["bn3"] = _bn_init(out_planes, dtype)
+    _add_downsample(params, state, kd, in_planes, out_planes, stride, cfg, dtype)
+    return params, state
+
+
+def _add_downsample(params, state, key, in_planes, out_planes, stride, cfg, dtype):
+    """Shortcut when stride != 1 or channels change (resnet_3d.py:166-176)."""
+    if stride == 1 and in_planes == out_planes:
+        return
+    if cfg.shortcut_type == "B":
+        params["ds_conv"] = _conv_init(key, in_planes, out_planes, (1, 1, 1), dtype)
+        params["ds_bn"], state["ds_bn"] = _bn_init(out_planes, dtype)
+    # type 'A' has no parameters (subsample + zero-pad, resnet_3d.py:155-164)
+
+
+def _shortcut(params, state, x, out_planes, stride, cfg, *, train):
+    if "ds_conv" in params:
+        r = conv3d(params["ds_conv"], x, stride=(stride,) * 3)
+        r, new_bn = batch_norm(params["ds_bn"], state["ds_bn"], r, train=train)
+        return r, {"ds_bn": new_bn}
+    if stride != 1 or x.shape[1] != out_planes:
+        # Type 'A': avg_pool3d(kernel=1, stride=s) == strided subsample, then
+        # zero-pad the channel dim (resnet_3d.py:155-164).
+        r = x[:, :, ::stride, ::stride, ::stride]
+        pad = out_planes - r.shape[1]
+        r = jnp.pad(r, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+        return r, {}
+    return x, {}
+
+
+def _apply_basic_block(params, state, x, stride, cfg, *, train):
+    new_state = {}
+    out = conv3d(params["conv1"], x, stride=(stride,) * 3, padding=(1, 1, 1))
+    out, new_state["bn1"] = batch_norm(params["bn1"], state["bn1"], out, train=train)
+    out = jax.nn.relu(out)
+    out = conv3d(params["conv2"], out, padding=(1, 1, 1))
+    out, new_state["bn2"] = batch_norm(params["bn2"], state["bn2"], out, train=train)
+    residual, ds_state = _shortcut(params, state, x, out.shape[1], stride, cfg, train=train)
+    new_state.update(ds_state)
+    return jax.nn.relu(out + residual), new_state
+
+
+def _apply_bottleneck(params, state, x, stride, cfg, *, train):
+    new_state = {}
+    out = conv3d(params["conv1"], x)
+    out, new_state["bn1"] = batch_norm(params["bn1"], state["bn1"], out, train=train)
+    out = jax.nn.relu(out)
+    out = conv3d(params["conv2"], out, stride=(stride,) * 3, padding=(1, 1, 1))
+    out, new_state["bn2"] = batch_norm(params["bn2"], state["bn2"], out, train=train)
+    out = jax.nn.relu(out)
+    out = conv3d(params["conv3"], out)
+    out, new_state["bn3"] = batch_norm(params["bn3"], state["bn3"], out, train=train)
+    residual, ds_state = _shortcut(params, state, x, out.shape[1], stride, cfg, train=train)
+    new_state.update(ds_state)
+    return jax.nn.relu(out + residual), new_state
+
+
+# --------------------------------------------------------------------------
+# Full model
+# --------------------------------------------------------------------------
+
+def init(key: jax.Array, cfg: ResNetConfig, dtype=jnp.float32) -> dict:
+    """Returns {"params": ..., "state": ...} (state = BN running stats)."""
+    n_stages = 4
+    keys = jax.random.split(key, 2 + n_stages)
+    in_planes = cfg.stage_planes[0]
+    params = {"conv1": _conv_init(
+        keys[0], cfg.n_input_channels, in_planes,
+        (cfg.conv1_t_size, 7, 7), dtype)}
+    state = {}
+    params["bn1"], state["bn1"] = _bn_init(in_planes, dtype)
+
+    init_block = (_init_basic_block if cfg.block_kind == "basic"
+                  else _init_bottleneck)
+    for s in range(n_stages):
+        planes = cfg.stage_planes[s]
+        stride = 1 if s == 0 else 2
+        blocks_p, blocks_s = [], []
+        for b, bkey in enumerate(jax.random.split(keys[2 + s], cfg.stage_blocks[s])):
+            bp, bs = init_block(bkey, in_planes, planes,
+                                stride if b == 0 else 1, cfg, dtype)
+            in_planes = planes * cfg.expansion
+            blocks_p.append(bp)
+            blocks_s.append(bs)
+        params[f"layer{s + 1}"] = blocks_p
+        state[f"layer{s + 1}"] = blocks_s
+
+    params["fc"] = nn.linear_init(
+        keys[1], cfg.stage_planes[3] * cfg.expansion, cfg.n_classes, dtype=dtype)
+    return {"params": params, "state": state}
+
+
+def apply(params: dict, state: dict, x: jax.Array, cfg: ResNetConfig, *,
+          train: bool = False,
+          capture_features: bool = False,
+          feature_shift: Optional[jax.Array] = None):
+    """[B, C, D, H, W] -> (logits, new_state[, features]).
+
+    ``capture_features`` additionally returns the layer4 output — the CAM
+    target used by the reference explainability scripts
+    (``explainability/xAi_gradcam_Resnet3D/gradcam.py:29-30``: layer4[-1]).
+    ``feature_shift`` (zeros of the layer4 shape) is the Grad-CAM probe:
+    differentiate w.r.t. it to get hook-style feature gradients.
+    """
+    new_state = {}
+    out = conv3d(params["conv1"], x,
+                 stride=(cfg.conv1_t_stride, 2, 2),
+                 padding=(cfg.conv1_t_size // 2, 3, 3))
+    out, new_state["bn1"] = batch_norm(params["bn1"], state["bn1"], out, train=train)
+    out = jax.nn.relu(out)
+    if not cfg.no_max_pool:
+        out = max_pool3d(out)
+
+    apply_block = (_apply_basic_block if cfg.block_kind == "basic"
+                   else _apply_bottleneck)
+    for s in range(4):
+        layer = f"layer{s + 1}"
+        new_state[layer] = []
+        for b, (bp, bs) in enumerate(zip(params[layer], state[layer])):
+            stride = 2 if (s > 0 and b == 0) else 1
+            out, nbs = apply_block(bp, bs, out, stride, cfg, train=train)
+            new_state[layer].append(nbs)
+    if feature_shift is not None:
+        out = out + feature_shift.astype(out.dtype)
+    features = out                                # layer4 activations
+    out = jnp.mean(out, axis=(2, 3, 4))           # AdaptiveAvgPool3d(1)
+    logits = nn.linear(params["fc"], out).astype(jnp.float32)
+    if capture_features:
+        return logits, new_state, features
+    return logits, new_state

@@ -1,0 +1,265 @@
+"""3D Vision Transformer, pure-functional JAX.
+
+Re-implements the semantics of the reference's vit-pytorch-style 3D ViT
+(``src/models/vit_3d.py``) as a TPU-first design:
+
+- patchify via reshape/transpose matching the einops pattern
+  ``'b c (f pf) (h p1) (w p2) -> b (f h w) (p1 p2 pf c)'`` (vit_3d.py:92),
+- LayerNorm -> Linear(patch_dim, dim) -> LayerNorm patch embedding
+  (vit_3d.py:91-96),
+- standard-normal pos-embedding over num_patches+1 tokens and CLS token
+  (vit_3d.py:98-99),
+- ``depth`` pre-norm blocks of MHSA + MLP with residuals (vit_3d.py:62-75),
+  executed with ``lax.scan`` over stacked block parameters (compile-time
+  O(1) in depth; optionally rematerialized),
+- fused-qkv attention with no bias (vit_3d.py:41), per-head dim ``dim_head``,
+  softmax scale ``dim_head**-0.5``, attention-prob + output dropout,
+- exact-erf GELU MLP (vit_3d.py:14-26),
+- 'cls' or 'mean' pooling + LayerNorm + Linear head (vit_3d.py:104-110).
+
+The attention core dispatches to a Pallas flash-attention kernel on TPU
+(``ops/attention.py``). A Grad-CAM "probe" replaces the reference's
+forward/backward hooks on the last block's attention LayerNorm
+(``NeuroEncoder.py:70-82``): the probe adds a zeros tensor at that exact
+activation so its gradient/value are available through ``jax.vjp`` without
+any hook machinery (jit-clean).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neurovit_tpu import nn
+from neurovit_tpu.ops.attention import sdpa
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int            # H == W (reference passes the same grid, NeuroEncoder.py:183)
+    image_patch_size: int
+    frames: int                # depth axis ("frames" in the 3D ViT)
+    frame_patch_size: int
+    num_classes: int
+    dim: int = 1024
+    depth: int = 6
+    heads: int = 8
+    dim_head: int = 64
+    mlp_dim: int = 2048
+    channels: int = 1
+    pool: str = "cls"          # 'cls' or 'mean' (vit_3d.py:89,123)
+    dropout: float = 0.0
+    emb_dropout: float = 0.0
+    impl: str = "xla"          # attention impl: "xla" | "pallas"
+    remat: bool = False        # jax.checkpoint each block
+
+    def __post_init__(self):
+        assert self.image_size % self.image_patch_size == 0, \
+            "Image dimensions must be divisible by the patch size."
+        assert self.frames % self.frame_patch_size == 0, \
+            "Frames must be divisible by frame patch size"
+        assert self.pool in ("cls", "mean")
+
+    @property
+    def grid(self) -> Tuple[int, int, int]:
+        return (self.frames // self.frame_patch_size,
+                self.image_size // self.image_patch_size,
+                self.image_size // self.image_patch_size)
+
+    @property
+    def num_patches(self) -> int:
+        f, h, w = self.grid
+        return f * h * w
+
+    @property
+    def patch_dim(self) -> int:
+        return (self.channels * self.image_patch_size ** 2 * self.frame_patch_size)
+
+    @property
+    def inner_dim(self) -> int:
+        return self.heads * self.dim_head
+
+    @property
+    def project_out(self) -> bool:
+        # vit_3d.py:32 — identity out-proj iff single full-width head.
+        return not (self.heads == 1 and self.dim_head == self.dim)
+
+
+def init(key: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> dict:
+    """Initialize the ViT parameter pytree (PyTorch-matched distributions)."""
+    keys = jax.random.split(key, 6 + cfg.depth)
+    k_proj, k_pos, k_cls, k_head = keys[:4]
+    params = {
+        "patch_embed": {
+            "norm_pre": nn.layer_norm_init(cfg.patch_dim, dtype),
+            "proj": nn.linear_init(k_proj, cfg.patch_dim, cfg.dim, dtype=dtype),
+            "norm_post": nn.layer_norm_init(cfg.dim, dtype),
+        },
+        # randn init, matching vit_3d.py:98-99.
+        "pos_embedding": jax.random.normal(k_pos, (1, cfg.num_patches + 1, cfg.dim), dtype),
+        "cls_token": jax.random.normal(k_cls, (1, 1, cfg.dim), dtype),
+        "blocks": _init_blocks(keys[4:4 + cfg.depth], cfg, dtype),
+        "head": {
+            "norm": nn.layer_norm_init(cfg.dim, dtype),
+            "fc": nn.linear_init(k_head, cfg.dim, cfg.num_classes, dtype=dtype),
+        },
+    }
+    return params
+
+
+def _init_block(key: jax.Array, cfg: ViTConfig, dtype) -> dict:
+    k_qkv, k_out, k_fc1, k_fc2 = jax.random.split(key, 4)
+    block = {
+        "attn_norm": nn.layer_norm_init(cfg.dim, dtype),
+        "qkv": nn.linear_init(k_qkv, cfg.dim, cfg.inner_dim * 3,
+                              use_bias=False, dtype=dtype),
+        "mlp_norm": nn.layer_norm_init(cfg.dim, dtype),
+        "fc1": nn.linear_init(k_fc1, cfg.dim, cfg.mlp_dim, dtype=dtype),
+        "fc2": nn.linear_init(k_fc2, cfg.mlp_dim, cfg.dim, dtype=dtype),
+    }
+    if cfg.project_out:
+        block["attn_out"] = nn.linear_init(k_out, cfg.inner_dim, cfg.dim, dtype=dtype)
+    return block
+
+
+def _init_blocks(keys, cfg: ViTConfig, dtype) -> dict:
+    """Stack per-block params along a leading depth axis (lax.scan layout)."""
+    blocks = [_init_block(k, cfg, dtype) for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+
+
+def unstack_blocks(blocks: dict, depth: int) -> list:
+    """Inverse of the stacked layout — used for torch-key export."""
+    return [jax.tree.map(lambda x, i=i: x[i], blocks) for i in range(depth)]
+
+
+# --------------------------------------------------------------------------
+# Forward
+# --------------------------------------------------------------------------
+
+def patchify(volume: jax.Array, cfg: ViTConfig) -> jax.Array:
+    """[B, C, F, H, W] -> [B, (f h w), (p1 p2 pf c)].
+
+    Pure reshape/transpose; matches the einops pattern at vit_3d.py:92
+    including the (p1 p2 pf c) ordering inside each patch vector, so
+    patch-embedding weights are interchangeable with the reference.
+    """
+    b = volume.shape[0]
+    f, h, w = cfg.grid
+    pf, p = cfg.frame_patch_size, cfg.image_patch_size
+    c = cfg.channels
+    x = volume.reshape(b, c, f, pf, h, p, w, p)
+    #                 b  c  f  pf h  p1 w  p2 -> b f h w p1 p2 pf c
+    x = x.transpose(0, 2, 4, 6, 5, 7, 3, 1)
+    return x.reshape(b, f * h * w, p * p * pf * c)
+
+
+def _attention(block: dict, x: jax.Array, cfg: ViTConfig, *,
+               deterministic: bool, rng: Optional[jax.Array],
+               probe_shift: Optional[jax.Array] = None):
+    """Pre-norm MHSA. Returns (residual_branch_output, ln_activation)."""
+    normed = nn.layer_norm(block["attn_norm"], x)
+    if probe_shift is not None:
+        # Grad-CAM capture point == reference hook target
+        # transformer.layers[-1][0].norm (NeuroEncoder.py:72).
+        normed = normed + probe_shift.astype(normed.dtype)
+    ln_act = normed
+    b, n, _ = normed.shape
+    qkv = nn.linear(block["qkv"], normed)                    # [B, N, 3*inner]
+    qkv = qkv.reshape(b, n, 3, cfg.heads, cfg.dim_head)
+    q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]  # [B,H,N,D]
+    drop_rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+    out = sdpa(q, k, v, scale=cfg.dim_head ** -0.5,
+               dropout_rate=cfg.dropout, dropout_rng=drop_rngs[0],
+               deterministic=deterministic, impl=cfg.impl)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, cfg.inner_dim)
+    if cfg.project_out:
+        out = nn.linear(block["attn_out"], out)
+        out = nn.dropout(drop_rngs[1], out, cfg.dropout, deterministic)
+    return out, ln_act
+
+
+def _mlp(block: dict, x: jax.Array, cfg: ViTConfig, *,
+         deterministic: bool, rng: Optional[jax.Array]) -> jax.Array:
+    """LN -> Linear -> GELU -> Drop -> Linear -> Drop (vit_3d.py:14-26)."""
+    drop_rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+    h = nn.layer_norm(block["mlp_norm"], x)
+    h = nn.gelu(nn.linear(block["fc1"], h))
+    h = nn.dropout(drop_rngs[0], h, cfg.dropout, deterministic)
+    h = nn.linear(block["fc2"], h)
+    return nn.dropout(drop_rngs[1], h, cfg.dropout, deterministic)
+
+
+def _block_apply(block: dict, x: jax.Array, cfg: ViTConfig, *,
+                 deterministic: bool, rng: Optional[jax.Array],
+                 probe_shift: Optional[jax.Array] = None):
+    rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+    attn_out, ln_act = _attention(block, x, cfg, deterministic=deterministic,
+                                  rng=rngs[0], probe_shift=probe_shift)
+    x = attn_out + x
+    x = _mlp(block, x, cfg, deterministic=deterministic, rng=rngs[1]) + x
+    return x, ln_act
+
+
+def apply(params: dict, volume: jax.Array, cfg: ViTConfig, *,
+          deterministic: bool = True, rng: Optional[jax.Array] = None,
+          probe_shift: Optional[jax.Array] = None,
+          compute_dtype=jnp.float32):
+    """Forward pass. [B, C, F, H, W] -> logits [B, num_classes].
+
+    Returns ``(logits, probe_activation)`` where ``probe_activation`` is the
+    LayerNorm output inside the *last* attention block (the reference's
+    Grad-CAM hook target, NeuroEncoder.py:70-82). Pass ``probe_shift`` (zeros
+    of shape [B, N+1, dim]) and differentiate w.r.t. it to obtain the hook
+    gradients via jax.vjp.
+    """
+    x = patchify(volume.astype(compute_dtype), cfg)
+    pe = params["patch_embed"]
+    x = nn.layer_norm(pe["norm_pre"], x)
+    x = nn.linear(pe["proj"], x)
+    x = nn.layer_norm(pe["norm_post"], x)
+
+    b, n, _ = x.shape
+    cls = jnp.broadcast_to(params["cls_token"].astype(compute_dtype),
+                           (b, 1, cfg.dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embedding"][:, : n + 1].astype(compute_dtype)
+    rngs = jax.random.split(rng, cfg.depth + 1) if rng is not None else None
+    x = nn.dropout(rngs[0] if rngs is not None else None, x,
+                   cfg.emb_dropout, deterministic)
+
+    # Blocks 0..depth-2 via lax.scan over stacked params; the last block runs
+    # unrolled so the Grad-CAM probe attaches to its attention LayerNorm.
+    n_scan = cfg.depth - 1
+    if n_scan > 0:
+        scan_blocks = jax.tree.map(lambda p: p[:n_scan], params["blocks"])
+        use_rng = rngs is not None
+        scan_rngs = (rngs[1:1 + n_scan] if use_rng
+                     else jnp.zeros((n_scan, 2), dtype=jnp.uint32))
+
+        def block_fn(block, h, block_rng):
+            return _block_apply(block, h, cfg, deterministic=deterministic,
+                                rng=block_rng if use_rng else None)[0]
+
+        if cfg.remat:
+            block_fn = jax.checkpoint(block_fn)
+
+        def body(carry, layer):
+            block, block_rng = layer
+            return block_fn(block, carry, block_rng), None
+
+        x, _ = jax.lax.scan(body, x, (scan_blocks, scan_rngs))
+
+    last_block = jax.tree.map(lambda p: p[cfg.depth - 1], params["blocks"])
+    x, probe_act = _block_apply(
+        last_block, x, cfg, deterministic=deterministic,
+        rng=rngs[cfg.depth] if rngs is not None else None,
+        probe_shift=probe_shift)
+
+    pooled = jnp.mean(x, axis=1) if cfg.pool == "mean" else x[:, 0]
+    pooled = nn.layer_norm(params["head"]["norm"], pooled)
+    logits = nn.linear(params["head"]["fc"], pooled)
+    return logits.astype(jnp.float32), probe_act

@@ -1,0 +1,78 @@
+"""Sharding rules: batch over ``data``, Megatron-style TP over ``model``.
+
+With shardings annotated on params and batch, XLA's SPMD partitioner inserts
+the collectives (all-reduce for DP gradients over ICI, all-gather/
+reduce-scatter around the TP matmuls) — no hand-written NCCL-equivalent code,
+per the scaling-book recipe: pick a mesh, annotate, let XLA do the rest.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from neurovit_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim split over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """device_put array fields of a host batch with batch-dim sharding."""
+    sharding = batch_sharding(mesh)
+    out = {}
+    for key, value in batch.items():
+        if hasattr(value, "shape") and getattr(value, "ndim", 0) >= 1:
+            out[key] = jax.device_put(value, sharding)
+        else:
+            out[key] = value
+    return out
+
+
+# Megatron-style tensor-parallel rules for the ViT blocks, keyed on the last
+# two path components of each leaf. kernel layouts are (in, out) — column-
+# parallel shards `out`, row-parallel shards `in`. A leading stacked-depth
+# axis (lax.scan layout) shifts the dims by one, handled by ndim below.
+_TP_RULES = {
+    ("qkv", "kernel"): "col",
+    ("attn_out", "kernel"): "row",
+    ("fc1", "kernel"): "col",
+    ("fc1", "bias"): "col_bias",
+    ("fc2", "kernel"): "row",
+}
+
+
+def _leaf_spec(path, leaf) -> P:
+    names = tuple(getattr(p, "key", getattr(p, "idx", None)) for p in path)
+    rule = _TP_RULES.get(names[-2:])
+    if rule is None:
+        return P()
+    nd = leaf.ndim
+    if rule == "col":       # shard output dim (last)
+        return P(*([None] * (nd - 1) + [MODEL_AXIS]))
+    if rule == "row":       # shard input dim (second-to-last)
+        return P(*([None] * (nd - 2) + [MODEL_AXIS, None]))
+    if rule == "col_bias":  # bias of a column-parallel matmul
+        return P(*([None] * (nd - 1) + [MODEL_AXIS]))
+    return P()
+
+
+def param_shardings(params: Dict[str, Any], mesh: Mesh,
+                    tensor_parallel: bool = True) -> Dict[str, Any]:
+    """NamedSharding pytree for the model params.
+
+    With model axis size 1 (or tensor_parallel=False) everything is
+    replicated; otherwise ViT attention/MLP weights are split over MODEL_AXIS.
+    """
+    if not tensor_parallel or mesh.shape[MODEL_AXIS] == 1:
+        return jax.tree.map(lambda _: replicated(mesh), params)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _leaf_spec(path, leaf)), params)

@@ -1,0 +1,287 @@
+"""Trainer: jit-compiled train/eval steps over a device mesh.
+
+TPU-native rebuild of the reference's ``src/Trainer.py``:
+
+- single jitted ``train_step`` (donated state buffers) instead of the eager
+  autograd loop (Trainer.py:65-76); bf16 compute / f32 params + f32 Adam
+  moments replace fp16 GradScaler AMP (Trainer.py:29,68 — TPUs need no loss
+  scaling for bf16),
+- **working** gradient accumulation keyed on TRAINING_ACCUMULATION_STEP via
+  ``optax.MultiSteps`` (the reference's accumulation is commented out,
+  Trainer.py:82-86, fixed per SURVEY §2.1.3),
+- AdamW(lr, weight_decay) == torch.optim.AdamW defaults (Trainer.py:31),
+  masked so the 4D frozen volume encoder is neither updated nor decayed
+  (requires_grad=False equivalent),
+- CrossEntropyLoss on the dataset's canonical label (Trainer.py:30,70),
+- batch data-parallelism: batches sharded over the mesh ``data`` axis,
+  params replicated (or TP-sharded), XLA inserts the gradient psum,
+- logging every 10% of batches and per-epoch validation in the reference's
+  exact print format (Trainer.py:89-99,114-118), with device->host metric
+  fetches deferred to the log boundary so the step pipeline stays async,
+- checkpoints each epoch: rolling ``last_model`` + timestamped per-epoch
+  (Trainer.py:54-56), as Orbax full train state (params+opt+epoch, enabling
+  true resume the reference lacks, SURVEY §5.4) plus a torch-style
+  state-dict pickle for cross-framework parity,
+- ``evaluate_samples``: inference sweep printing accuracy + wrong
+  predictions (Trainer.py:120-166).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from neurovit_tpu import nn
+from neurovit_tpu.data.loader import DataLoader
+from neurovit_tpu.models.neuro_encoder import NeuroEncoder
+from neurovit_tpu.parallel import (batch_sharding, create_mesh,
+                                   param_shardings, replicated, shard_batch)
+from neurovit_tpu.training.metrics import MetricLogger
+from neurovit_tpu.training import checkpoint as ckpt
+
+
+def _masked_mean_ce(logits, labels, valid):
+    """CE/accuracy over the valid (non-pad) slice of the batch."""
+    logits = logits.astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
+    per_sample = logz - gold
+    valid_f = valid.astype(jnp.float32)
+    count = jnp.maximum(jnp.sum(valid_f), 1.0)
+    loss = jnp.sum(per_sample * valid_f) / count
+    correct = jnp.sum((jnp.argmax(logits, axis=-1) == labels) * valid)
+    return loss, correct, jnp.sum(valid)
+
+
+class Trainer:
+    def __init__(self, config: Dict[str, Any], model: NeuroEncoder,
+                 dataset_train, dataset_val, *,
+                 variables: Optional[Dict] = None,
+                 mesh=None, logger: Optional[MetricLogger] = None):
+        self.config = config
+        self.model = model
+        self.output_dir = config["GLOBAL_OUTPUT_DIR"]
+        self.epochs = config["TRAINING_EPOCHS"]
+        self.batch_size = config["TRAINING_BATCH_SIZE"]
+        self.num_workers = config.get("TRAINING_NUM_WORKERS", 8)
+        self.mesh = mesh if mesh is not None else create_mesh(config)
+        self.logger = logger if logger is not None else MetricLogger(config)
+
+        self.data = dataset_train
+        self.val_data = dataset_val
+        seed = config.get("TRAINING_SEED", 42)
+        self.dataloader = DataLoader(
+            dataset_train, self.batch_size, shuffle=True,
+            num_workers=self.num_workers, seed=seed)
+        self.val_dataloader = DataLoader(
+            dataset_val, self.batch_size, shuffle=False,
+            num_workers=self.num_workers, seed=seed)
+
+        # ---- parameters / optimizer ------------------------------------
+        if variables is None:
+            variables = model.init(jax.random.key(seed))
+        params, model_state = variables["params"], variables["state"]
+        self.lr = config["TRAINING_LEARNING_RATE"]
+        wd = config.get("TRAINING_WEIGHT_DECAY", 0.01)
+        accum = max(1, int(config.get("TRAINING_ACCUMULATION_STEP", 1)))
+        self.accum = accum
+        mask = model.trainable_mask(params)
+        tx = optax.adamw(self.lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd)
+        tx = optax.masked(tx, mask)
+        if accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        self.tx = tx
+
+        # Place params replicated (or TP-sharded) on the mesh, batches on the
+        # data axis; jit follows input shardings from there.
+        p_shard = param_shardings(params, self.mesh)
+        params = jax.tree.map(jax.device_put, params, p_shard)
+        model_state = jax.device_put(model_state, replicated(self.mesh))
+        self._replicate = lambda x: jax.device_put(x, replicated(self.mesh))
+        self.train_state = {
+            "params": params,
+            "model_state": model_state,
+            "opt_state": self._replicate(self.tx.init(params)),
+            "rng": self._replicate(jax.random.key(seed + 1)),
+            "epoch": self._replicate(jnp.zeros((), jnp.int32)),
+        }
+
+        self._train_step = jax.jit(self._train_step_fn, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_fn)
+
+        self.log_interval = max(1, len(self.dataloader) // 10)  # Trainer.py:34
+        total, trainable = model.param_count(params)
+        print(f"Model total parameters: {total/1e6:.2f}M "
+              f"(trainable {trainable/1e6:.2f}M and frozen "
+              f"{(total-trainable)/1e6:.2f}M)")
+        print(f"Number of batches training: {len(self.dataloader)} "
+              f"of size {self.batch_size}")
+        print(f"Number of batches validation: {len(self.val_dataloader)} "
+              f"of size {self.batch_size}")
+        print("=" * 50)
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+
+    def _train_step_fn(self, ts, batch):
+        rng, step_rng = jax.random.split(ts["rng"])
+
+        def loss_fn(params):
+            logits, aux = self.model.apply(
+                params, batch["volume"], state=ts["model_state"],
+                deterministic=False, rng=step_rng, train=True)
+            loss, correct, count = _masked_mean_ce(
+                logits, batch["label"], batch["valid"])
+            return loss, (aux["state"], correct, count)
+
+        (loss, (new_model_state, correct, count)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(ts["params"]))
+        updates, new_opt_state = self.tx.update(
+            grads, ts["opt_state"], ts["params"])
+        new_params = optax.apply_updates(ts["params"], updates)
+        new_ts = {
+            "params": new_params,
+            "model_state": new_model_state,
+            "opt_state": new_opt_state,
+            "rng": rng,
+            "epoch": ts["epoch"],
+        }
+        return new_ts, {"loss": loss, "correct": correct, "count": count}
+
+    def _eval_step_fn(self, params, model_state, batch):
+        logits, _ = self.model.apply(
+            params, batch["volume"], state=model_state, deterministic=True)
+        loss, correct, count = _masked_mean_ce(
+            logits, batch["label"], batch["valid"])
+        preds = jnp.argmax(logits, axis=-1)
+        return {"loss": loss, "correct": correct, "count": count,
+                "preds": preds}
+
+    # ------------------------------------------------------------------
+    # loops
+    # ------------------------------------------------------------------
+
+    def run(self) -> None:
+        timestamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        path = f"{self.output_dir}/{timestamp}"
+        os.makedirs(path, exist_ok=True)
+
+        print(f"Running on mesh: {dict(self.mesh.shape)} "
+              f"({jax.default_backend()})")
+        start_epoch = int(self.train_state["epoch"])
+        for epoch in range(start_epoch, self.epochs):
+            self.train(epoch)
+            self.validate(epoch)
+            self.train_state["epoch"] = self._replicate(
+                jnp.asarray(epoch + 1, jnp.int32))
+            ckpt.save_train_state(os.path.join(path, f"model-e{epoch}"),
+                                  self.train_state, self.model)
+            ckpt.save_last_model(self.train_state, self.model)
+            print(f"MODEL SAVED to .{path}/model-e{epoch}")
+
+    def train(self, epoch: int) -> None:
+        self.dataloader.set_epoch(epoch)
+        running: list = []
+        start_time = time.time()
+        for i, batch in enumerate(self.dataloader):
+            batch = shard_batch(self._device_batch(batch), self.mesh)
+            self.train_state, metrics = self._train_step(self.train_state, batch)
+            running.append(metrics)  # device arrays; fetched at log boundary
+
+            if i != 0 and i % self.log_interval == 0:
+                window = running[-self.log_interval:]
+                avg_loss = round(float(np.mean([m["loss"] for m in window])), 5)
+                correct = float(np.sum([m["correct"] for m in window]))
+                total = float(np.sum([m["count"] for m in window]))
+                accuracy = round(correct / max(total, 1), 5)
+                lr = round(self.lr, 5)
+                duration = time.time() - start_time
+                print(f"epoch {epoch}\t| batch {i}/{len(self.dataloader)}\t| "
+                      f"train_loss: {avg_loss:.5f}\t| train_accuracy: "
+                      f"{accuracy:.5f}\t| learning_rate: {lr:.5f}\t| "
+                      f"duration: {duration:.2f}s")
+                self.logger.log({"epoch": epoch, "batch": i,
+                                 "train_loss": avg_loss,
+                                 "train_accuracy": accuracy,
+                                 "learning_rate": lr, "duration": duration})
+                running = []
+                start_time = time.time()
+
+    def validate(self, epoch: int) -> None:
+        losses, correct, total = [], 0.0, 0.0
+        i = -1
+        for i, batch in enumerate(self.val_dataloader):
+            batch = shard_batch(self._device_batch(batch), self.mesh)
+            m = self._eval_step(self.train_state["params"],
+                                self.train_state["model_state"], batch)
+            losses.append(m["loss"])
+            correct += float(m["correct"])
+            total += float(m["count"])
+        avg_val_loss = round(float(np.mean([float(l) for l in losses])), 5)
+        self.val_loss = avg_val_loss
+        accuracy = round(correct / max(total, 1), 5)
+        print(f"[VALIDATION] epoch {epoch}\t| total_batch {i}\t| "
+              f"val_loss {avg_val_loss:.5f}\t| val_accuracy {accuracy:.5f}")
+        self.logger.log({"epoch": epoch, "val_loss": avg_val_loss,
+                         "val_accuracy": accuracy})
+
+    def evaluate_samples(self) -> float:
+        """Inference sweep over the validation set (Trainer.py:120-166)."""
+        print("=" * 50)
+        print(f"Training set has {len(self.data)} samples and validation set "
+              f"has {len(self.val_data)} samples.")
+        print(f"Training loader has {len(self.dataloader)} batches and "
+              f"validation loader has {len(self.val_dataloader)} batches.")
+        n_correct, n_total = 0, 0
+        wrong_predictions = []
+        for batch in self.val_dataloader:
+            device_batch = shard_batch(self._device_batch(batch), self.mesh)
+            m = self._eval_step(self.train_state["params"],
+                                self.train_state["model_state"], device_batch)
+            preds = np.asarray(m["preds"])
+            labels = np.asarray(batch["label"])
+            valid = np.asarray(batch["valid"])
+            for j in range(len(preds)):
+                if not valid[j]:
+                    continue
+                n_total += 1
+                if preds[j] == labels[j]:
+                    n_correct += 1
+                else:
+                    wrong_predictions.append(
+                        (batch["subject"][j], int(preds[j]), int(labels[j])))
+        accuracy = n_correct / max(n_total, 1)
+        print(f"Accuracy: {accuracy*100:.2f}%")
+        print(f"Wrong predictions: {wrong_predictions}")
+        return accuracy
+
+    # ------------------------------------------------------------------
+
+    def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Select the array fields the jitted steps consume, padded (with
+        valid=False rows) so the batch dim divides the data-axis size."""
+        from neurovit_tpu.parallel.mesh import DATA_AXIS
+        out = {
+            "volume": np.asarray(batch["volume"], np.float32),
+            "label": np.asarray(batch["label"], np.int32),
+            "valid": np.asarray(batch["valid"], np.bool_),
+        }
+        d = self.mesh.shape[DATA_AXIS]
+        b = out["volume"].shape[0]
+        pad = (-b) % d
+        if pad:
+            out["volume"] = np.concatenate(
+                [out["volume"], np.repeat(out["volume"][-1:], pad, axis=0)])
+            out["label"] = np.concatenate(
+                [out["label"], np.zeros(pad, np.int32)])
+            out["valid"] = np.concatenate(
+                [out["valid"], np.zeros(pad, np.bool_)])
+        return out

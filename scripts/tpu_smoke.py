@@ -1,0 +1,143 @@
+"""TPU-chip validation: pallas kernel numerics + flagship train-step timing.
+
+Run on a machine with a real TPU (the CPU test suite covers interpret-mode
+numerics; this validates the compiled Mosaic kernels):
+
+    python scripts/tpu_smoke.py [--quick]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def check_kernel_numerics():
+    from neurovit_tpu.ops.attention import _sdpa_xla
+    from neurovit_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.RandomState(0)
+    for (b, h, n, d) in [(2, 8, 1001, 64), (2, 2, 140, 32)]:
+        q, k, v = [jnp.asarray(rng.randn(b, h, n, d), jnp.bfloat16)
+                   for _ in range(3)]
+        scale = d ** -0.5
+        ours = flash_attention(q, k, v, scale=scale)
+        gold = _sdpa_xla(q, k, v, scale=scale, dropout_rate=0.0,
+                         dropout_rng=None, deterministic=True)
+        err = float(jnp.max(jnp.abs(ours.astype(jnp.float32)
+                                    - gold.astype(jnp.float32))))
+        print(f"fwd  ({b},{h},{n},{d}) max|err| = {err:.2e}")
+        assert err < 2e-2, "forward mismatch"
+
+        def loss_f(fn):
+            def inner(q, k, v):
+                return jnp.sum(fn(q, k, v).astype(jnp.float32) ** 2)
+            return inner
+
+        g_ours = jax.grad(loss_f(lambda *a: flash_attention(
+            *a, scale=scale)), argnums=(0, 1, 2))(q, k, v)
+        g_gold = jax.grad(loss_f(lambda *a: _sdpa_xla(
+            *a, scale=scale, dropout_rate=0.0, dropout_rng=None,
+            deterministic=True)), argnums=(0, 1, 2))(q, k, v)
+        for go, gg, name in zip(g_ours, g_gold, "qkv"):
+            rel = float(jnp.max(jnp.abs(go.astype(jnp.float32)
+                                        - gg.astype(jnp.float32)))
+                        / (jnp.max(jnp.abs(gg.astype(jnp.float32))) + 1e-6))
+            print(f"bwd d{name} ({b},{h},{n},{d}) rel err = {rel:.2e}")
+            assert rel < 5e-2, f"backward d{name} mismatch"
+
+    # In-kernel dropout: deterministic given rng, ~unbiased.
+    q, k, v = [jnp.asarray(rng.randn(1, 4, 256, 64), jnp.float32)
+               for _ in range(3)]
+    key = jax.random.key(3)
+    o1 = flash_attention(q, k, v, scale=0.125, dropout_rate=0.3,
+                         dropout_rng=key)
+    o2 = flash_attention(q, k, v, scale=0.125, dropout_rate=0.3,
+                         dropout_rng=key)
+    assert bool(jnp.all(o1 == o2)), "dropout not deterministic under same rng"
+    o3 = flash_attention(q, k, v, scale=0.125, dropout_rate=0.3,
+                         dropout_rng=jax.random.key(4))
+    assert not bool(jnp.all(o1 == o3)), "dropout ignored rng"
+    print("dropout determinism OK")
+
+
+def time_flagship(impl: str, batch: int = 32, iters: int = 10):
+    import optax
+    from neurovit_tpu.config import load_config
+    from neurovit_tpu.models import NeuroEncoder
+
+    config = load_config(overrides={
+        "DATASET_NAME": "gradcam", "TRAINING_VIT_INPUT_SIZE": 90,
+        "TRAINING_VIT_PATCH_SIZE": 9, "GRADCAM_CUBE_SIZE": 8,
+        "TRAINING_DROPOUT": 0.1, "TRAINING_PRECISION": "bf16",
+        "KERNEL_IMPL": impl})
+    model = NeuroEncoder(config)
+    variables = model.init(jax.random.key(0))
+    params = variables["params"]
+    tx = optax.adamw(1e-4, weight_decay=0.01)
+    opt_state = tx.init(params)
+    x = jnp.asarray(np.random.RandomState(0).randn(batch, 90, 90, 90),
+                    jnp.float32)
+    labels = jnp.asarray(np.random.RandomState(1).randint(0, 2, batch))
+    rng = jax.random.key(1)
+
+    @jax.jit
+    def step(params, opt_state, rng):
+        rng, srng = jax.random.split(rng)
+
+        def loss_fn(p):
+            logits, _ = model.apply(p, x, deterministic=False, rng=srng)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, rng, loss
+
+    t0 = time.perf_counter()
+    params, opt_state, rng, loss = step(params, opt_state, rng)
+    jax.block_until_ready(loss)
+    print(f"[{impl}] compile+first step: {time.perf_counter()-t0:.1f}s")
+    for _ in range(2):
+        params, opt_state, rng, loss = step(params, opt_state, rng)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, rng, loss = step(params, opt_state, rng)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    vps = batch * iters / dt
+    print(f"[{impl}] {vps:.1f} volumes/sec/chip "
+          f"({dt/iters*1000:.1f} ms/step, batch {batch}, "
+          f"loss {float(loss):.4f})")
+    return vps
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--batch", type=int, default=32)
+    args = ap.parse_args()
+    print(f"devices: {jax.devices()}")
+    check_kernel_numerics()
+    if not args.quick:
+        def try_time(impl, batch):
+            while batch >= 2:
+                try:
+                    return time_flagship(impl, batch=batch), batch
+                except Exception as e:  # XLA path OOMs at large batch
+                    print(f"[{impl}] batch {batch} failed "
+                          f"({type(e).__name__}); halving")
+                    batch //= 2
+            raise RuntimeError(f"{impl} failed at all batch sizes")
+
+        pallas_vps, pb = try_time("pallas", args.batch)
+        xla_vps, xb = try_time("xla", args.batch)
+        print(f"pallas {pallas_vps:.1f} v/s (batch {pb}) vs "
+              f"xla {xla_vps:.1f} v/s (batch {xb}): "
+              f"{pallas_vps/xla_vps:.2f}x")

@@ -1,0 +1,62 @@
+"""Checkpointing: orbax full-state resume + state-dict filtering semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurovit_tpu.data import get_datasets
+from neurovit_tpu.models import NeuroEncoder
+from neurovit_tpu.training import Trainer
+from neurovit_tpu.training import checkpoint as ckpt
+from neurovit_tpu.training import state_dict as sd
+
+
+def test_orbax_full_state_roundtrip(tiny_config, tmp_path):
+    config = dict(tiny_config, DATASET_GENERATE=True, GRADCAM_NUM_SAMPLES=48)
+    ds_train, ds_val = get_datasets(config)
+    model = NeuroEncoder(config)
+    trainer = Trainer(config, model, ds_train, ds_val)
+
+    # One step so opt_state is non-trivial.
+    batch = trainer._device_batch(next(iter(trainer.dataloader)))
+    trainer.train_state, _ = trainer._train_step(trainer.train_state, batch)
+    trainer.train_state["epoch"] = jnp.asarray(3, jnp.int32)
+
+    path = str(tmp_path / "ckpt" / "model-e3")
+    ckpt.save_train_state(path, trainer.train_state, model)
+
+    # Fresh trainer restores params + opt_state + epoch (true resume).
+    trainer2 = Trainer(config, model, ds_train, ds_val)
+    restored = ckpt.load_train_state(path, trainer2.train_state)
+    assert int(restored["epoch"]) == 3
+    for a, b in zip(jax.tree.leaves(trainer.train_state["params"]),
+                    jax.tree.leaves(restored["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    for a, b in zip(jax.tree.leaves(trainer.train_state["opt_state"]),
+                    jax.tree.leaves(restored["opt_state"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # Restored state must continue training without recompiling errors.
+    trainer2.train_state = restored
+    trainer2.train_state, metrics = trainer2._train_step(
+        trainer2.train_state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_state_dict_strict_false_skips_unknown(tiny_config):
+    model = NeuroEncoder(tiny_config)
+    params = model.init(jax.random.key(0))["params"]
+    exported = sd.to_state_dict(model, params)
+    exported["totally.unknown.key"] = np.zeros(3)
+    merged = sd.load_into(model, params, exported, strict=False)
+    assert merged is not None
+
+
+def test_state_dict_shape_mismatch_raises(tiny_config):
+    import pytest
+    model = NeuroEncoder(tiny_config)
+    params = model.init(jax.random.key(0))["params"]
+    exported = sd.to_state_dict(model, params)
+    key = "volume_encoder.vit3d.cls_token"
+    exported[key] = np.zeros((1, 1, 999))
+    with pytest.raises(ValueError):
+        sd.load_into(model, params, exported, strict=False)

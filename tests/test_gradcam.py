@@ -1,0 +1,56 @@
+"""Grad-CAM pipeline: probe gradients, CAM shape/range, threshold."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurovit_tpu.data.synthetic import GradCAMDataset
+from neurovit_tpu.explainability.gradcam_vit3d import (get_attention_map,
+                                                       visualize_slice)
+from neurovit_tpu.models import NeuroEncoder
+
+
+def test_attention_map_shape_and_range(tiny_config):
+    config = dict(tiny_config, GRADCAM_TRAIN_PATH=None, GRADCAM_VAL_PATH=None)
+    ds = GradCAMDataset(config, "val")
+    model = NeuroEncoder(config)
+    variables = model.init(jax.random.key(0))
+    sample = ds.sample(0)
+
+    cam, class_idx = get_attention_map(model, variables, sample["volume"])
+    grid = config["TRAINING_VIT_INPUT_SIZE"]
+    assert cam.shape == (grid, grid, grid)
+    assert 0.0 <= cam.min() and cam.max() <= 1.0 + 1e-6
+    assert int(class_idx[0]) in range(model.num_classes)
+    # Percentile threshold keeps ~GRADCAM_THRESHOLD% of the *patch grid*
+    # active before upsampling -> the upsampled CAM is mostly zero.
+    assert (cam > 0).mean() < 0.5
+
+
+def test_probe_gradient_nonzero(tiny_config):
+    """The vjp through the probe must produce real gradients (the hook
+    replacement actually differentiates through the last block)."""
+    model = NeuroEncoder(tiny_config)
+    variables = model.init(jax.random.key(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 20, 20, 20), jnp.float32)
+    n_tokens = model.vit_cfg.num_patches + 1
+    zeros = jnp.zeros((1, n_tokens, model.vit_cfg.dim))
+
+    def fwd(shift):
+        logits, aux = model.apply(variables["params"], x, probe_shift=shift)
+        return logits
+
+    logits, vjp_fn = jax.vjp(fwd, zeros)
+    (g,) = vjp_fn(jnp.ones_like(logits))
+    assert float(jnp.sum(jnp.abs(g))) > 0.0
+
+
+def test_visualize_slice_dims(tiny_config):
+    cam = np.random.RandomState(0).rand(20, 20, 20)
+    vol = np.random.RandomState(1).rand(20, 20, 20)
+    for dim in (0, 1, 2):
+        config = dict(tiny_config, GRADCAM_SLICE_DIM=dim, GRADCAM_SLICE_IDX=5)
+        img, attn = visualize_slice(config, cam, vol)
+        assert img.shape == (20, 20) and attn.shape == (20, 20)
+    config = dict(tiny_config, GRADCAM_SLICE_DIM=7)
+    assert visualize_slice(config, cam, vol) is None

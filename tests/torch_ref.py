@@ -1,0 +1,98 @@
+"""Torch golden models for numerics parity tests.
+
+Independent CPU-torch implementations of the architectures the reference
+builds on (the standard vit-pytorch 3D ViT and torch built-ins), written from
+the behavioral spec in SURVEY.md §2. Used only in tests as the numerics
+oracle; weights are copied from/to the JAX models through the torch-style
+state-dict mapping.
+"""
+
+import torch
+import torch.nn as nn
+from einops import rearrange
+
+
+class TorchFeedForward(nn.Module):
+    def __init__(self, dim, hidden_dim):
+        super().__init__()
+        self.net = nn.Sequential(
+            nn.LayerNorm(dim), nn.Linear(dim, hidden_dim), nn.GELU(),
+            nn.Dropout(0.0), nn.Linear(hidden_dim, dim), nn.Dropout(0.0))
+
+    def forward(self, x):
+        return self.net(x)
+
+
+class TorchAttention(nn.Module):
+    def __init__(self, dim, heads, dim_head):
+        super().__init__()
+        inner = heads * dim_head
+        self.heads = heads
+        self.scale = dim_head ** -0.5
+        self.norm = nn.LayerNorm(dim)
+        self.to_qkv = nn.Linear(dim, inner * 3, bias=False)
+        self.to_out = nn.Sequential(nn.Linear(inner, dim), nn.Dropout(0.0))
+
+    def forward(self, x):
+        x = self.norm(x)
+        qkv = self.to_qkv(x).chunk(3, dim=-1)
+        q, k, v = [rearrange(t, "b n (h d) -> b h n d", h=self.heads)
+                   for t in qkv]
+        attn = (q @ k.transpose(-1, -2) * self.scale).softmax(dim=-1)
+        out = rearrange(attn @ v, "b h n d -> b n (h d)")
+        return self.to_out(out)
+
+
+class TorchViT3D(nn.Module):
+    """Pre-norm 3D ViT with (f h w)/(p1 p2 pf c) patch ordering and CLS pool."""
+
+    def __init__(self, *, image_size, image_patch_size, frames,
+                 frame_patch_size, num_classes, dim, depth, heads, dim_head,
+                 mlp_dim, channels=1, pool="cls"):
+        super().__init__()
+        f = frames // frame_patch_size
+        h = image_size // image_patch_size
+        num_patches = f * h * h
+        patch_dim = channels * image_patch_size ** 2 * frame_patch_size
+        self.patch_sizes = (frame_patch_size, image_patch_size)
+        self.pool = pool
+        self.to_patch_embedding = nn.Sequential(
+            nn.Identity(),                      # slot 0: rearrange (done in forward)
+            nn.LayerNorm(patch_dim),
+            nn.Linear(patch_dim, dim),
+            nn.LayerNorm(dim))
+        self.pos_embedding = nn.Parameter(torch.randn(1, num_patches + 1, dim))
+        self.cls_token = nn.Parameter(torch.randn(1, 1, dim))
+        self.layers = nn.ModuleList([
+            nn.ModuleList([TorchAttention(dim, heads, dim_head),
+                           TorchFeedForward(dim, mlp_dim)])
+            for _ in range(depth)])
+        self.mlp_head = nn.Sequential(nn.LayerNorm(dim),
+                                      nn.Linear(dim, num_classes))
+
+    def forward(self, video):
+        pf, p = self.patch_sizes
+        x = rearrange(video,
+                      "b c (f pf) (h p1) (w p2) -> b (f h w) (p1 p2 pf c)",
+                      pf=pf, p1=p, p2=p)
+        for m in list(self.to_patch_embedding)[1:]:
+            x = m(x)
+        b, n, _ = x.shape
+        cls = self.cls_token.expand(b, 1, -1)
+        x = torch.cat([cls, x], dim=1) + self.pos_embedding[:, : n + 1]
+        for attn, ff in self.layers:
+            x = attn(x) + x
+            x = ff(x) + x
+        x = x.mean(dim=1) if self.pool == "mean" else x[:, 0]
+        return self.mlp_head(x)
+
+    def ref_state_dict(self, prefix="volume_encoder.vit3d."):
+        """Rename to the reference checkpoint key scheme: our ``layers`` ==
+        reference ``transformer.layers``; all submodule names/indices already
+        match (norm, to_qkv, to_out.0, net.0/1/4, to_patch_embedding.1/2/3)."""
+        out = {}
+        for k, v in self.state_dict().items():
+            if k.startswith("layers."):
+                k = "transformer." + k
+            out[prefix + k] = v.detach().numpy()
+        return out
