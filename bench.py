@@ -68,12 +68,13 @@ def main():
 
     for _ in range(WARMUP):
         params, opt_state, rng, loss = train_step(params, opt_state, rng, x, labels)
-    jax.block_until_ready(loss)
+    float(loss)  # hard sync (block_until_ready alone can lie on the
+    #              experimental remote-TPU platform)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         params, opt_state, rng, loss = train_step(params, opt_state, rng, x, labels)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
 
     volumes_per_sec = BATCH * ITERS / dt

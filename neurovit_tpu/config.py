@@ -68,6 +68,10 @@ EXTRA_DEFAULTS: Dict[str, Any] = {
     # the reference's fp16 GradScaler AMP, Trainer.py:29,68).
     "TRAINING_PRECISION": "bf16",
     "TRAINING_ACCUMULATION_STEP": 1,
+    # constant (reference active path) | cosine | plateau (Trainer.py:32-33)
+    "TRAINING_LR_SCHEDULE": "constant",
+    "TRAINING_PLATEAU_PATIENCE": 1,
+    "TRAINING_PLATEAU_FACTOR": 0.5,
     "TRAINING_WEIGHT_DECAY": 0.01,
     "TRAINING_DROPOUT": 0.0,
     "TRAINING_NUM_WORKERS": 8,

@@ -89,15 +89,18 @@ class Trainer:
             variables = model.init(jax.random.key(seed))
         params, model_state = variables["params"], variables["state"]
         self.lr = config["TRAINING_LEARNING_RATE"]
-        wd = config.get("TRAINING_WEIGHT_DECAY", 0.01)
-        accum = max(1, int(config.get("TRAINING_ACCUMULATION_STEP", 1)))
-        self.accum = accum
+        self.accum = max(1, int(config.get("TRAINING_ACCUMULATION_STEP", 1)))
         mask = model.trainable_mask(params)
-        tx = optax.adamw(self.lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd)
-        tx = optax.masked(tx, mask)
-        if accum > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=accum)
-        self.tx = tx
+        from neurovit_tpu.training.optim import build_optimizer
+        self.tx, self._lr_fn = build_optimizer(
+            config, mask, steps_per_epoch=max(1, len(self.dataloader)))
+        # Plateau schedule bookkeeping (reference Trainer.py:32 commented
+        # ReduceLROnPlateau(patience=1, factor=0.5), functional here).
+        self._plateau = (config.get("TRAINING_LR_SCHEDULE") == "plateau")
+        self._plateau_patience = config.get("TRAINING_PLATEAU_PATIENCE", 1)
+        self._plateau_factor = config.get("TRAINING_PLATEAU_FACTOR", 0.5)
+        self._plateau_best = float("inf")
+        self._plateau_bad_epochs = 0
 
         # Place params replicated (or TP-sharded) on the mesh, batches on the
         # data axis; jit follows input shardings from there.
@@ -202,7 +205,7 @@ class Trainer:
                 correct = float(np.sum([m["correct"] for m in window]))
                 total = float(np.sum([m["count"] for m in window]))
                 accuracy = round(correct / max(total, 1), 5)
-                lr = round(self.lr, 5)
+                lr = round(self._lr_fn(self.train_state["opt_state"]), 5)
                 duration = time.time() - start_time
                 print(f"epoch {epoch}\t| batch {i}/{len(self.dataloader)}\t| "
                       f"train_loss: {avg_loss:.5f}\t| train_accuracy: "
@@ -232,6 +235,23 @@ class Trainer:
               f"val_loss {avg_val_loss:.5f}\t| val_accuracy {accuracy:.5f}")
         self.logger.log({"epoch": epoch, "val_loss": avg_val_loss,
                          "val_accuracy": accuracy})
+        if self._plateau:
+            self._plateau_step(avg_val_loss)
+
+    def _plateau_step(self, val_loss: float) -> None:
+        """Halve the LR after `patience` epochs without val_loss improvement."""
+        if val_loss < self._plateau_best - 1e-8:
+            self._plateau_best = val_loss
+            self._plateau_bad_epochs = 0
+            return
+        self._plateau_bad_epochs += 1
+        if self._plateau_bad_epochs > self._plateau_patience:
+            new_lr = (self._lr_fn(self.train_state["opt_state"])
+                      * self._plateau_factor)
+            self.train_state["opt_state"] = self._lr_fn.set_lr(
+                self.train_state["opt_state"], new_lr)
+            self._plateau_bad_epochs = 0
+            print(f"[LR PLATEAU] reducing learning rate to {new_lr:.6f}")
 
     def evaluate_samples(self) -> float:
         """Inference sweep over the validation set (Trainer.py:120-166)."""
