@@ -52,6 +52,29 @@ def main():
 
     if not config["INFERENCE"] and not config["SWEEP"]:
         print("Training mode enabled.")
+        folds = config.get("FOLDS", 0)
+        if folds:
+            # k-fold CV over generate_folds indexes (the reference's
+            # commented-out fold loop, main.py:127-131, made functional).
+            folds_dir = config.get("DATASET_FOLDS_DIR", "./src/data")
+            for fold in range(1, folds + 1):
+                print(f"FOLD {fold}/{folds} training...")
+                fold_config = dict(config)
+                train_pkl = os.path.join(folds_dir, f"fold_{fold}",
+                                         "train_data.pkl")
+                val_pkl = os.path.join(folds_dir, f"fold_{fold}",
+                                       "val_data.pkl")
+                for key in ("ADNI_TRAIN_PATH", "PAIN_TRAIN_PKL_PATH"):
+                    fold_config[key] = train_pkl
+                for key in ("ADNI_VAL_PATH", "PAIN_VAL_PKL_PATH"):
+                    fold_config[key] = val_pkl
+                ds_train, ds_val, model, variables = build(fold_config)
+                trainer = Trainer(fold_config, model, ds_train, ds_val,
+                                  variables=variables)
+                trainer.run()
+                print(f"FOLD {fold}/{folds} completed.")
+                print("=" * 50)
+            return
         logger = MetricLogger(config)
         dataset_train, dataset_val, model, variables = build(config)
         trainer = Trainer(config, model, dataset_train, dataset_val,

@@ -76,6 +76,10 @@ EXTRA_DEFAULTS: Dict[str, Any] = {
     "TRAINING_DROPOUT": 0.0,
     "TRAINING_NUM_WORKERS": 8,
     "TRAINING_REMAT": False,       # jax.checkpoint the transformer blocks
+    # PRNG impl for training-step dropout keys: "rbg" uses the TPU-native
+    # XLA RngBitGenerator (threefry mask generation costs ~25% of a step
+    # on the flagship model); "threefry2x32" for bit-stable portability.
+    "TRAINING_RNG_IMPL": "rbg",
     "TRAINING_DONATE": True,       # donate train-state buffers to the step
     # Mesh axes: data parallel by default; model axis enables tensor parallel.
     "MESH_DATA_AXIS": -1,          # -1 = all devices on the data axis
@@ -174,6 +178,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help="Enable metric tracking (wandb if installed, else local JSONL)")
     parser.add_argument("--config", type=str, default=None,
                         help="Config YAML path (default: configs/config.yaml)")
+    parser.add_argument("--folds", type=int, default=0,
+                        help="Run k-fold cross-validation over fold indexes "
+                             "written by generate_folds (the reference's "
+                             "commented-out fold loop, main.py:127-131)")
     return parser.parse_args(argv)
 
 
@@ -186,5 +194,6 @@ def get_config(args: argparse.Namespace) -> Dict[str, Any]:
         "NAME": args.name,
         "INFERENCE": args.inference,
         "SWEEP": args.sweep,
+        "FOLDS": getattr(args, "folds", 0),
     })
     return config

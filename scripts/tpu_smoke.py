@@ -66,6 +66,34 @@ def check_kernel_numerics():
     print("dropout determinism OK")
 
 
+def check_fused_dropout():
+    from neurovit_tpu.ops import dropout as fused
+
+    x = jnp.asarray(np.random.RandomState(5).randn(64, 1001, 256), jnp.bfloat16)
+    key = jax.random.key(11)
+    y1 = fused.dropout(key, x, 0.1)
+    y2 = fused.dropout(key, x, 0.1)
+    assert bool(jnp.all(y1 == y2)), "fused dropout not deterministic"
+    kept = float(jnp.mean((y1 != 0).astype(jnp.float32)))
+    assert 0.88 < kept < 0.92, f"keep fraction off: {kept}"
+    # Unbiased: E[y] == x
+    ratio = float(jnp.mean(y1.astype(jnp.float32))
+                  / jnp.mean(x.astype(jnp.float32)))
+    assert 0.9 < ratio < 1.1, f"dropout biased: {ratio}"
+
+    def loss(x):
+        return jnp.sum(fused.dropout(key, x, 0.3).astype(jnp.float32) ** 2)
+
+    g1 = jax.grad(loss)(x)
+    g2 = jax.grad(loss)(x)
+    assert bool(jnp.all(g1 == g2)), "fused dropout bwd mask mismatch"
+    # grad zero exactly where fwd dropped
+    y3 = fused.dropout(key, x, 0.3)
+    assert bool(jnp.all((jnp.abs(g1) > 0) == (y3 != 0))), \
+        "bwd mask differs from fwd mask"
+    print("fused dropout kernel OK")
+
+
 def time_flagship(impl: str, batch: int = 32, iters: int = 10):
     import optax
     from neurovit_tpu.config import load_config
@@ -125,6 +153,7 @@ if __name__ == "__main__":
     args = ap.parse_args()
     print(f"devices: {jax.devices()}")
     check_kernel_numerics()
+    check_fused_dropout()
     if not args.quick:
         def try_time(impl, batch):
             while batch >= 2:
