@@ -16,6 +16,7 @@ of >=5x A100 reference throughput per chip.
 
 import json
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -53,7 +54,7 @@ def main():
                     jnp.float32)
     labels = jnp.asarray(np.random.RandomState(1).randint(0, 2, BATCH))
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, rng, x, labels):
         rng, step_rng = jax.random.split(rng)
 

@@ -61,7 +61,10 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
     n_blocks = n_pad // block_q
     keep = 1.0 - dropout_rate
 
-    k = k_ref[0].astype(jnp.float32)
+    # Keep operands in their storage dtype (bf16): the MXU accumulates in
+    # f32 via preferred_element_type, and bf16 passes are ~8x faster than
+    # upcast-f32 matmuls.
+    k = k_ref[0]
     v = v_ref[0]
 
     # Static key-padding mask (shapes are static under jit).
@@ -69,7 +72,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
     pad_mask = kv_ids < n_valid
 
     def body(qb, _):
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -100,8 +103,8 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
     n_blocks = n_pad // block_q
     keep = 1.0 - dropout_rate
 
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]
+    v = v_ref[0]
     dk_acc[...] = jnp.zeros_like(dk_acc)
     dv_acc[...] = jnp.zeros_like(dv_acc)
 
@@ -109,10 +112,10 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
     pad_mask = kv_ids < n_valid
 
     def body(qb, _):
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :]
 
-        # Rematerialize P exactly as the forward did.
+        # Rematerialize P exactly as the forward did (bf16 in, f32 accum).
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -128,9 +131,10 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
         else:
             p_drop = p
 
-        # dV += P_drop^T dO     (contract over q rows)
+        # dV += P_drop^T dO     (contract over q rows; bf16 in, f32 accum)
         dv_acc[...] += jax.lax.dot_general(
-            p_drop, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            p_drop.astype(do.dtype), do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         # dP_drop = dO V^T ; chain through dropout, then softmax jacobian.
         dp = jax.lax.dot_general(
@@ -139,7 +143,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
         if dropout_rate > 0.0:
             dp = dp * mask * (1.0 / keep)
         delta = jnp.sum(p * dp, axis=1, keepdims=True)
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
         # dQ block = dS K
         dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
         dq_ref[0, pl.ds(qb * block_q, block_q), :] = dq.astype(dq_ref.dtype)

@@ -275,12 +275,13 @@ class Trainer:
         n_correct, n_total = 0, 0
         wrong_predictions = []
         for batch in self.val_dataloader:
-            device_batch = shard_batch(self._device_batch(batch), self.mesh)
+            host_batch = self._device_batch(batch)  # padded to mesh multiple
+            device_batch = shard_batch(host_batch, self.mesh)
             m = self._eval_step(self.train_state["params"],
                                 self.train_state["model_state"], device_batch)
             preds = np.asarray(m["preds"])
-            labels = np.asarray(batch["label"])
-            valid = np.asarray(batch["valid"])
+            labels = host_batch["label"]
+            valid = host_batch["valid"]             # padding rows are False
             for j in range(len(preds)):
                 if not valid[j]:
                     continue

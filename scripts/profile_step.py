@@ -1,0 +1,99 @@
+"""Capture a device trace of the flagship train step and summarize op costs."""
+
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+OUT = "/tmp/nvt_profile"
+
+
+def run_and_trace():
+    from neurovit_tpu.config import load_config
+    from neurovit_tpu.models import NeuroEncoder
+
+    config = load_config(overrides={
+        "DATASET_NAME": "gradcam", "TRAINING_VIT_INPUT_SIZE": 90,
+        "TRAINING_VIT_PATCH_SIZE": 9, "GRADCAM_CUBE_SIZE": 8,
+        "TRAINING_DROPOUT": 0.1, "TRAINING_PRECISION": "bf16",
+        "KERNEL_IMPL": "pallas"})
+    model = NeuroEncoder(config)
+    variables = model.init(jax.random.key(0))
+    params = variables["params"]
+    tx = optax.adamw(1e-4, weight_decay=0.01)
+    opt_state = tx.init(params)
+    x = jnp.asarray(np.random.RandomState(0).randn(32, 90, 90, 90), jnp.float32)
+    labels = jnp.asarray(np.random.RandomState(1).randint(0, 2, 32))
+    rng = jax.random.key(1, impl="rbg")
+
+    @jax.jit
+    def step(params, opt_state, rng):
+        rng, srng = jax.random.split(rng)
+
+        def loss_fn(p):
+            logits, _ = model.apply(p, x, deterministic=False, rng=srng)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, rng, loss
+
+    for _ in range(3):
+        params, opt_state, rng, loss = step(params, opt_state, rng)
+    float(loss)
+    jax.profiler.start_trace(OUT)
+    for _ in range(3):
+        params, opt_state, rng, loss = step(params, opt_state, rng)
+    float(loss)
+    jax.profiler.stop_trace()
+
+
+def summarize():
+    files = glob.glob(os.path.join(OUT, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not files:
+        print("no trace files found under", OUT)
+        for f in glob.glob(os.path.join(OUT, "**", "*"), recursive=True):
+            print("  ", f)
+        return
+    path = max(files, key=os.path.getmtime)
+    print("parsing", path)
+    with gzip.open(path) as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # Find device-lane events (TPU op executions carry 'dur' and names).
+    by_name = defaultdict(float)
+    total = 0.0
+    pid_names = {e.get("pid"): e.get("args", {}).get("name", "")
+                 for e in events if e.get("ph") == "M"
+                 and e.get("name") == "process_name"}
+    device_pids = {p for p, n in pid_names.items()
+                   if "TPU" in str(n) or "/device" in str(n).lower()}
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if device_pids and e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "?")
+        by_name[name] += e["dur"]
+        total += e["dur"]
+    top = sorted(by_name.items(), key=lambda kv: -kv[1])[:40]
+    print(f"total device-op time: {total/1e3/3:.2f} ms/step (3 steps)")
+    for name, dur in top:
+        print(f"  {dur/1e3/3:8.2f} ms/step  {name[:110]}")
+
+
+if __name__ == "__main__":
+    print(jax.devices())
+    run_and_trace()
+    summarize()

@@ -76,9 +76,9 @@ def check_fused_dropout():
     assert bool(jnp.all(y1 == y2)), "fused dropout not deterministic"
     kept = float(jnp.mean((y1 != 0).astype(jnp.float32)))
     assert 0.88 < kept < 0.92, f"keep fraction off: {kept}"
-    # Unbiased: E[y] == x
-    ratio = float(jnp.mean(y1.astype(jnp.float32))
-                  / jnp.mean(x.astype(jnp.float32)))
+    # Unbiased: E[y] == x, so E|y| == E|x| for inverted dropout.
+    ratio = float(jnp.mean(jnp.abs(y1.astype(jnp.float32)))
+                  / jnp.mean(jnp.abs(x.astype(jnp.float32))))
     assert 0.9 < ratio < 1.1, f"dropout biased: {ratio}"
 
     def loss(x):
