@@ -113,19 +113,33 @@ NiftiHandle* open_handle(const char* path) {
   return handle;
 }
 
+// Gather the cropped box from the Fortran-ordered source straight into the
+// C-ordered output out[x][y][z], converting dtype and applying scl on the
+// fly. Cache-blocked (z, x) transpose per y-plane: x-contiguous source
+// reads and z-contiguous destination writes both stay within tiles.
 template <typename T>
 void gather_box(const T* vol, const int64_t* dims, const int64_t* lo,
-                const int64_t* hi, float* out) {
+                const int64_t* hi, float slope, float inter, float* out) {
+  constexpr int64_t TB = 48;
   const int64_t nx = dims[0], ny = dims[1];
   const int64_t sy = nx, sz = nx * ny;
-  float* dst = out;
-  // Fortran order: x fastest. Copy x-runs contiguously.
-  for (int64_t z = lo[2]; z < hi[2]; ++z) {
-    for (int64_t y = lo[1]; y < hi[1]; ++y) {
-      const T* src = vol + z * sz + y * sy + lo[0];
-      const int64_t run = hi[0] - lo[0];
-      for (int64_t x = 0; x < run; ++x) dst[x] = static_cast<float>(src[x]);
-      dst += run;
+  const int64_t cx = hi[0] - lo[0], cy = hi[1] - lo[1], cz = hi[2] - lo[2];
+  float tile[TB][TB];
+  for (int64_t y = 0; y < cy; ++y) {
+    const T* plane = vol + (y + lo[1]) * sy + lo[0];
+    for (int64_t zb = 0; zb < cz; zb += TB) {
+      const int64_t zn = std::min(TB, cz - zb);
+      for (int64_t xb = 0; xb < cx; xb += TB) {
+        const int64_t xn = std::min(TB, cx - xb);
+        for (int64_t z = 0; z < zn; ++z) {
+          const T* src = plane + (zb + z + lo[2]) * sz + xb;
+          for (int64_t x = 0; x < xn; ++x)
+            tile[x][z] = static_cast<float>(src[x]) * slope + inter;
+        }
+        for (int64_t x = 0; x < xn; ++x)
+          std::memcpy(out + ((xb + x) * cy + y) * cz + zb, tile[x],
+                      zn * sizeof(float));
+      }
     }
   }
 }
@@ -165,42 +179,37 @@ int nvt_read_timepoint(const char* path, int64_t t,
   const int64_t hi[3] = {x1, y1, z1};
   const int64_t n_out = (x1 - x0) * (y1 - y0) * (z1 - z0);
 
-  // Gather into a z-y-x-run staging layout, then transpose to numpy C-order.
-  std::vector<float> staged(static_cast<size_t>(n_out));
+  const float slope = (h->scl_slope == 0.0f || h->scl_slope == 1.0f)
+                          ? 1.0f : h->scl_slope;
+  const float inter = (h->scl_slope == 0.0f) ? 0.0f : h->scl_inter;
   switch (h->datatype) {
     case kDTFloat32:
-      gather_box(reinterpret_cast<const float*>(base), dims3, lo, hi, staged.data());
+      gather_box(reinterpret_cast<const float*>(base), dims3, lo, hi,
+                 slope, inter, out);
       break;
     case kDTFloat64:
-      gather_box(reinterpret_cast<const double*>(base), dims3, lo, hi, staged.data());
+      gather_box(reinterpret_cast<const double*>(base), dims3, lo, hi,
+                 slope, inter, out);
       break;
     case kDTInt16:
-      gather_box(reinterpret_cast<const int16_t*>(base), dims3, lo, hi, staged.data());
+      gather_box(reinterpret_cast<const int16_t*>(base), dims3, lo, hi,
+                 slope, inter, out);
       break;
     case kDTInt32:
-      gather_box(reinterpret_cast<const int32_t*>(base), dims3, lo, hi, staged.data());
+      gather_box(reinterpret_cast<const int32_t*>(base), dims3, lo, hi,
+                 slope, inter, out);
       break;
     case kDTUInt8:
-      gather_box(reinterpret_cast<const uint8_t*>(base), dims3, lo, hi, staged.data());
+      gather_box(reinterpret_cast<const uint8_t*>(base), dims3, lo, hi,
+                 slope, inter, out);
       break;
     case kDTUInt16:
-      gather_box(reinterpret_cast<const uint16_t*>(base), dims3, lo, hi, staged.data());
+      gather_box(reinterpret_cast<const uint16_t*>(base), dims3, lo, hi,
+                 slope, inter, out);
       break;
     default:
       return -5;
   }
-
-  // staged is [z][y][x-run]; numpy expects out[x][y][z] (C-order of the
-  // Fortran-ordered source). Transpose.
-  const int64_t cx = x1 - x0, cy = y1 - y0, cz = z1 - z0;
-  const float slope = (h->scl_slope == 0.0f || h->scl_slope == 1.0f)
-                          ? 1.0f : h->scl_slope;
-  const float inter = (h->scl_slope == 0.0f) ? 0.0f : h->scl_inter;
-  for (int64_t z = 0; z < cz; ++z)
-    for (int64_t y = 0; y < cy; ++y)
-      for (int64_t x = 0; x < cx; ++x)
-        out[(x * cy + y) * cz + z] =
-            staged[(z * cy + y) * cx + x] * slope + inter;
 
   if (zscore) {
     double sum = 0.0, sq = 0.0;

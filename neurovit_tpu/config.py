@@ -84,6 +84,9 @@ EXTRA_DEFAULTS: Dict[str, Any] = {
     # Mesh axes: data parallel by default; model axis enables tensor parallel.
     "MESH_DATA_AXIS": -1,          # -1 = all devices on the data axis
     "MESH_MODEL_AXIS": 1,
+    # Opt-in native C++ NIfTI reader (GIL-free batch fan-out; numpy memmap
+    # is faster on single-core hosts — see scripts/data_bench.py).
+    "DATA_NATIVE_IO": False,
     "DATASET_TASK": "age",
     "DATASET_GENERATE": False,
     "DATASET_VISUALIZE_SAMPLES": False,

@@ -181,10 +181,16 @@ class ADNIDataset:
 
     def _read_volume(self, fmri_path: str, timepoint: int) -> np.ndarray:
         """(91,109,91,T) -> cropped (90,90,90) z-scored single timepoint.
-        Uses the native C++ reader when available (csrc/nifti_native.cpp);
-        falls back to the numpy memmap path with identical semantics."""
+
+        DATA_NATIVE_IO selects the C++ reader (csrc/nifti_native.cpp) —
+        GIL-free batch fan-out for many-core hosts. Default is the numpy
+        memmap path: on this single-core build box numpy's strided copy
+        measured ~2x faster per sample (scripts/data_bench.py), so native is
+        opt-in rather than auto. Identical output either way (tested).
+        """
         from neurovit_tpu.data import native_io
-        if native_io.usable_for(fmri_path):
+        if (self.config.get("DATA_NATIVE_IO", False)
+                and native_io.usable_for(fmri_path)):
             shape = nifti.peek_shape(fmri_path)
             out_shape = (shape[0] - 1, shape[1] - 19, shape[2] - 1)
             vol = native_io.read_timepoint(

@@ -144,6 +144,15 @@ class NeuroEncoder:
         # ---- 4D: fold T into the batch dim (NeuroEncoder.py:53-66) --------
         b, h, w, d, t = x.shape
         volumes = x.transpose(0, 4, 1, 2, 3).reshape(b * t, h, w, d)
+        # Multi-chip: the interesting parallel dim in 4D mode is the folded
+        # B*T volume stream (B is tiny, e.g. 2; B*T is 280) — shard it over
+        # the mesh data axis when an ambient mesh is set (SURVEY §5.7).
+        abstract_mesh = jax.sharding.get_abstract_mesh()
+        from neurovit_tpu.parallel.mesh import DATA_AXIS
+        if (DATA_AXIS in (abstract_mesh.axis_names or ())
+                and volumes.shape[0] % abstract_mesh.shape[DATA_AXIS] == 0):
+            volumes = jax.lax.with_sharding_constraint(
+                volumes, jax.sharding.PartitionSpec(DATA_AXIS))
         # Frozen + eval()'d volume encoder (NeuroEncoder.py:34-36):
         frozen = jax.lax.stop_gradient(
             {"volume_encoder": params["volume_encoder"]})

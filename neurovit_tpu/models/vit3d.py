@@ -237,7 +237,8 @@ def _patch_embed(pe: dict, volume: jax.Array, cfg: ViTConfig) -> jax.Array:
 
 def _attention(block: dict, x: jax.Array, cfg: ViTConfig, *,
                deterministic: bool, rng: Optional[jax.Array],
-               probe_shift: Optional[jax.Array] = None):
+               probe_shift: Optional[jax.Array] = None,
+               n_valid: Optional[int] = None):
     """Pre-norm MHSA. Returns (residual_branch_output, ln_activation)."""
     normed = nn.layer_norm(block["attn_norm"], x)
     if probe_shift is not None:
@@ -260,7 +261,7 @@ def _attention(block: dict, x: jax.Array, cfg: ViTConfig, *,
     drop_rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
     out = sdpa(q, k, v, scale=cfg.dim_head ** -0.5,
                dropout_rate=cfg.dropout, dropout_rng=drop_rngs[0],
-               deterministic=deterministic, impl=cfg.impl)
+               deterministic=deterministic, impl=cfg.impl, n_valid=n_valid)
     if cfg.project_out:
         # Head-merge + output projection in one contraction (no transpose).
         wout = block["attn_out"]["kernel"].astype(out.dtype).reshape(
@@ -287,10 +288,12 @@ def _mlp(block: dict, x: jax.Array, cfg: ViTConfig, *,
 
 def _block_apply(block: dict, x: jax.Array, cfg: ViTConfig, *,
                  deterministic: bool, rng: Optional[jax.Array],
-                 probe_shift: Optional[jax.Array] = None):
+                 probe_shift: Optional[jax.Array] = None,
+                 n_valid: Optional[int] = None):
     rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
     attn_out, ln_act = _attention(block, x, cfg, deterministic=deterministic,
-                                  rng=rngs[0], probe_shift=probe_shift)
+                                  rng=rngs[0], probe_shift=probe_shift,
+                                  n_valid=n_valid)
     x = attn_out + x
     x = _mlp(block, x, cfg, deterministic=deterministic, rng=rngs[1]) + x
     return x, ln_act
@@ -319,6 +322,21 @@ def apply(params: dict, volume: jax.Array, cfg: ViTConfig, *,
     x = nn.dropout(rngs[0] if rngs is not None else None, x,
                    cfg.emb_dropout, deterministic)
 
+    # Padded token stream: with the Pallas attention the whole transformer
+    # runs on a lane-aligned sequence (1001 -> 1024) with trailing keys
+    # masked in-kernel — no per-layer pad/unpad copies. Row-wise ops (LN,
+    # MLP) are padding-safe; pad rows are sliced off before pooling.
+    n_valid = n + 1
+    from neurovit_tpu.ops.flash_attention import LANE
+    pad_stream = cfg.impl == "pallas" and n_valid % LANE != 0
+    if pad_stream:
+        n_stream = ((n_valid + LANE - 1) // LANE) * LANE
+        x = jnp.pad(x, ((0, 0), (0, n_stream - n_valid), (0, 0)))
+        if probe_shift is not None:
+            probe_shift = jnp.pad(
+                probe_shift, ((0, 0), (0, n_stream - n_valid), (0, 0)))
+    attn_n_valid = n_valid if pad_stream else None
+
     # Blocks 0..depth-2 via lax.scan over stacked params; the last block runs
     # unrolled so the Grad-CAM probe attaches to its attention LayerNorm.
     n_scan = cfg.depth - 1
@@ -330,7 +348,8 @@ def apply(params: dict, volume: jax.Array, cfg: ViTConfig, *,
 
         def block_fn(block, h, block_rng):
             return _block_apply(block, h, cfg, deterministic=deterministic,
-                                rng=block_rng if use_rng else None)[0]
+                                rng=block_rng if use_rng else None,
+                                n_valid=attn_n_valid)[0]
 
         if cfg.remat:
             block_fn = jax.checkpoint(block_fn)
@@ -339,13 +358,22 @@ def apply(params: dict, volume: jax.Array, cfg: ViTConfig, *,
             block, block_rng = layer
             return block_fn(block, carry, block_rng), None
 
-        x, _ = jax.lax.scan(body, x, (scan_blocks, scan_rngs))
+        # Full unroll: at depth ~6 the while-loop's dynamic-update-slice
+        # traffic on stacked params/grads costs ~15% of a train step
+        # (profiled); unrolling keeps the stacked layout but lets XLA use
+        # static slices and fuse across blocks.
+        x, _ = jax.lax.scan(body, x, (scan_blocks, scan_rngs),
+                            unroll=True)
 
     last_block = jax.tree.map(lambda p: p[cfg.depth - 1], params["blocks"])
     x, probe_act = _block_apply(
         last_block, x, cfg, deterministic=deterministic,
         rng=rngs[cfg.depth] if rngs is not None else None,
-        probe_shift=probe_shift)
+        probe_shift=probe_shift, n_valid=attn_n_valid)
+
+    if pad_stream:
+        x = x[:, :n_valid]
+        probe_act = probe_act[:, :n_valid]
 
     pooled = jnp.mean(x, axis=1) if cfg.pool == "mean" else x[:, 0]
     pooled = nn.layer_norm(params["head"]["norm"], pooled)

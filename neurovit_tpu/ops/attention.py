@@ -25,18 +25,20 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array, *,
          dropout_rate: float = 0.0,
          dropout_rng: Optional[jax.Array] = None,
          deterministic: bool = True,
-         impl: str = "xla") -> jax.Array:
+         impl: str = "xla",
+         n_valid: Optional[int] = None) -> jax.Array:
     """softmax(q k^T * scale) v over [B, H, N, D] tensors.
 
     Attention-probability dropout matches the reference's
-    ``self.dropout(attn)`` (vit_3d.py:56-57).
+    ``self.dropout(attn)`` (vit_3d.py:56-57). ``n_valid`` masks trailing
+    (padding) key positions for pre-padded token streams.
     """
     if impl == "pallas":
         from neurovit_tpu.ops.flash_attention import flash_attention
         return flash_attention(
             q, k, v, scale=scale,
             dropout_rate=0.0 if deterministic else dropout_rate,
-            dropout_rng=dropout_rng)
+            dropout_rng=dropout_rng, n_valid=n_valid)
     return _sdpa_xla(q, k, v, scale=scale, dropout_rate=dropout_rate,
                      dropout_rng=dropout_rng, deterministic=deterministic)
 

@@ -227,27 +227,28 @@ def _pad_n(x, n_pad):
     return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash(q, k, v, scale, dropout_rate, seed):
-    out, _ = _flash_fwd(q, k, v, scale, dropout_rate, seed)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, scale, dropout_rate, n_valid, seed):
+    out, _ = _flash_fwd(q, k, v, scale, dropout_rate, n_valid, seed)
     return out
 
 
-def _flash_fwd(q, k, v, scale, dropout_rate, seed):
+def _flash_fwd(q, k, v, scale, dropout_rate, n_valid, seed):
     b, h, n, d = q.shape
     n_pad = pl.cdiv(n, LANE) * LANE
     args = [_pad_n(x, n_pad).reshape(b * h, n_pad, d) for x in (q, k, v)]
-    o = _fwd(*args, seed, scale=scale, n_valid=n, dropout_rate=dropout_rate)
+    o = _fwd(*args, seed, scale=scale, n_valid=n_valid,
+             dropout_rate=dropout_rate)
     o = o.reshape(b, h, n_pad, d)[:, :, :n]
     return o, (q, k, v, seed)
 
 
-def _flash_bwd(scale, dropout_rate, residuals, g):
+def _flash_bwd(scale, dropout_rate, n_valid, residuals, g):
     q, k, v, seed = residuals
     b, h, n, d = q.shape
     n_pad = pl.cdiv(n, LANE) * LANE
     args = [_pad_n(x, n_pad).reshape(b * h, n_pad, d) for x in (q, k, v, g)]
-    dq, dk, dv = _bwd(*args, seed, scale=scale, n_valid=n,
+    dq, dk, dv = _bwd(*args, seed, scale=scale, n_valid=n_valid,
                       dropout_rate=dropout_rate)
     unpad = lambda x: x.reshape(b, h, n_pad, d)[:, :, :n]
     return unpad(dq), unpad(dk), unpad(dv), None
@@ -258,8 +259,14 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     scale: float, dropout_rate: float = 0.0,
-                    dropout_rng: Optional[jax.Array] = None) -> jax.Array:
-    """softmax(q k^T * scale) v with fused TPU kernel; [B, H, N, D]."""
+                    dropout_rng: Optional[jax.Array] = None,
+                    n_valid: Optional[int] = None) -> jax.Array:
+    """softmax(q k^T * scale) v with fused TPU kernel; [B, H, N, D].
+
+    ``n_valid`` (static) masks trailing key positions — callers running a
+    pre-padded token stream pass the true length and keep N lane-aligned so
+    no per-call padding copies happen here.
+    """
     n = q.shape[2]
     # Tiny head dims (the reference's d_model=2 temporal head) and very long
     # sequences don't fit this kernel's regime; the in-kernel PRNG dropout
@@ -267,6 +274,12 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     if (n > MAX_RESIDENT_N or q.shape[-1] < 8
             or (dropout_rate > 0.0 and _interpret())):
         from neurovit_tpu.ops.attention import _sdpa_xla
+        if n_valid is not None and n_valid < n:
+            neg = jnp.full((n,), NEG_INF, dtype=jnp.float32)
+            bias = jnp.where(jnp.arange(n) < n_valid, 0.0, neg)
+            return _sdpa_xla_masked(q, k, v, scale=scale, bias=bias,
+                                    dropout_rate=dropout_rate,
+                                    dropout_rng=dropout_rng)
         return _sdpa_xla(q, k, v, scale=scale, dropout_rate=dropout_rate,
                          dropout_rng=dropout_rng,
                          deterministic=dropout_rate == 0.0)
@@ -277,4 +290,19 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                                   dtype=jnp.int32)
     else:
         seed = jnp.zeros((1, 1), jnp.int32)
-    return _flash(q, k, v, scale, float(dropout_rate), seed)
+    return _flash(q, k, v, scale, float(dropout_rate),
+                  int(n_valid) if n_valid is not None else n, seed)
+
+
+def _sdpa_xla_masked(q, k, v, *, scale, bias, dropout_rate, dropout_rng):
+    dots = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                      preferred_element_type=jnp.float32) * scale
+    dots = dots + bias[None, None, None, :]
+    attn = jax.nn.softmax(dots, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = 1.0 - dropout_rate
+        mask = jax.random.bernoulli(dropout_rng, keep, attn.shape)
+        attn = jnp.where(mask, attn / keep, 0.0)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)

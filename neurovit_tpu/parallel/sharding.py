@@ -25,9 +25,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """device_put array fields of a host batch with batch-dim sharding."""
-    sharding = batch_sharding(mesh)
+def shard_batch(batch: Dict[str, Any], mesh: Mesh,
+                replicate: bool = False) -> Dict[str, Any]:
+    """device_put array fields of a host batch with batch-dim sharding
+    (or replicated, e.g. 4D mode where the model shards the folded B*T
+    stream itself)."""
+    sharding = replicated(mesh) if replicate else batch_sharding(mesh)
     out = {}
     for key, value in batch.items():
         if hasattr(value, "shape") and getattr(value, "ndim", 0) >= 1:

@@ -73,6 +73,9 @@ class Trainer:
         self.num_workers = config.get("TRAINING_NUM_WORKERS", 8)
         self.mesh = mesh if mesh is not None else create_mesh(config)
         self.logger = logger if logger is not None else MetricLogger(config)
+        # Ambient mesh: lets the model use bare PartitionSpec sharding
+        # constraints (4D B*T stream sharding).
+        jax.set_mesh(self.mesh)
 
         self.data = dataset_train
         self.val_data = dataset_val
@@ -203,7 +206,8 @@ class Trainer:
             if profile_steps and i == 2:
                 jax.profiler.start_trace(
                     os.path.join(self.output_dir, "profile"))
-            batch = shard_batch(self._device_batch(batch), self.mesh)
+            batch = shard_batch(self._device_batch(batch), self.mesh,
+                                replicate=self.model.is_4d)
             self.train_state, metrics = self._train_step(self.train_state, batch)
             if profile_steps and i == 2 + profile_steps:
                 jax.block_until_ready(metrics["loss"])
@@ -234,7 +238,8 @@ class Trainer:
         losses, correct, total = [], 0.0, 0.0
         i = -1
         for i, batch in enumerate(self.val_dataloader):
-            batch = shard_batch(self._device_batch(batch), self.mesh)
+            batch = shard_batch(self._device_batch(batch), self.mesh,
+                                replicate=self.model.is_4d)
             m = self._eval_step(self.train_state["params"],
                                 self.train_state["model_state"], batch)
             losses.append(m["loss"])
@@ -276,7 +281,8 @@ class Trainer:
         wrong_predictions = []
         for batch in self.val_dataloader:
             host_batch = self._device_batch(batch)  # padded to mesh multiple
-            device_batch = shard_batch(host_batch, self.mesh)
+            device_batch = shard_batch(host_batch, self.mesh,
+                                       replicate=self.model.is_4d)
             m = self._eval_step(self.train_state["params"],
                                 self.train_state["model_state"], device_batch)
             preds = np.asarray(m["preds"])
@@ -307,6 +313,10 @@ class Trainer:
             "label": np.asarray(batch["label"], np.int32),
             "valid": np.asarray(batch["valid"], np.bool_),
         }
+        if self.model.is_4d:
+            # 4D batches stay whole on the host; the model shards the folded
+            # B*T volume stream over the mesh instead (B is tiny).
+            return out
         d = self.mesh.shape[DATA_AXIS]
         b = out["volume"].shape[0]
         pad = (-b) % d

@@ -1,0 +1,83 @@
+"""Host data-pipeline benchmark: native C++ reader vs Python memmap path.
+
+Generates a synthetic ADNI-like NIfTI corpus (full 91x109x91 geometry) and
+measures end-to-end DataLoader throughput (samples/sec) for both read paths.
+"""
+
+import os
+import pickle
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+from neurovit_tpu.data import native_io, nifti
+from neurovit_tpu.data.adni import ADNIDataset
+from neurovit_tpu.data.loader import DataLoader
+
+N_FILES = 8
+N_T = 20
+BATCH = 32
+WORKERS = 8
+
+
+def build_corpus(root):
+    rng = np.random.RandomState(0)
+    samples = []
+    for i in range(N_FILES):
+        path = os.path.join(root, f"sub{i}.nii")
+        nifti.save(path, rng.randn(91, 109, 91, N_T).astype(np.float32))
+        for t in range(N_T):
+            samples.append((f"S{i:03d}", t, path, "CN", "F", 60 + i))
+    pkl = os.path.join(root, "index.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(samples, f)
+    return pkl
+
+
+def run(dataset, label):
+    loader = DataLoader(dataset, BATCH, shuffle=True, num_workers=WORKERS,
+                        seed=0)
+    # warmup (page cache)
+    for _ in loader:
+        pass
+    t0 = time.perf_counter()
+    n = 0
+    for batch in loader:
+        n += int(batch["valid"].sum())
+    dt = time.perf_counter() - t0
+    print(f"{label:22s}: {n/dt:8.1f} samples/sec "
+          f"({dt*1e3/max(n,1)*BATCH:.1f} ms/batch of {BATCH})")
+    return n / dt
+
+
+def main():
+    root = tempfile.mkdtemp(prefix="nvt_databench_")
+    try:
+        pkl = build_corpus(root)
+        config = {"ADNI_CSV_PATH": "", "ADNI_TRAIN_PATH": pkl,
+                  "ADNI_VAL_PATH": pkl, "DATASET_SPLIT_RATIO": 0.85,
+                  "DATASET_TASK": "age", "DATASET_TRANSFORMS": False,
+                  "TRAINING_VIT_INPUT_SIZE": 90, "TRAINING_SEED": 0}
+        ds = ADNIDataset(config, mode="train")
+        assert native_io.available(), "build csrc first (cd csrc && make)"
+        native = run(ds, "native C++ reader")
+
+        # Force the Python path by pretending the lib can't serve .nii.
+        orig = native_io.usable_for
+        native_io.usable_for = lambda path: False
+        try:
+            python = run(ds, "python memmap reader")
+        finally:
+            native_io.usable_for = orig
+        print(f"native speedup: {native/python:.2f}x")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -66,7 +66,8 @@ def test_adni_dataset_uses_native(series, tmp_path):
     config = {"ADNI_CSV_PATH": "", "ADNI_TRAIN_PATH": pkl,
               "ADNI_VAL_PATH": pkl, "DATASET_SPLIT_RATIO": 0.85,
               "DATASET_TASK": "age", "DATASET_TRANSFORMS": False,
-              "TRAINING_VIT_INPUT_SIZE": 12, "TRAINING_SEED": 0}
+              "TRAINING_VIT_INPUT_SIZE": 12, "TRAINING_SEED": 0,
+              "DATA_NATIVE_IO": True}
     ds = ADNIDataset(config, mode="train")
     s = ds.sample(0)
     golden = zscore(data[1:, 10:-9, 1:, 2])

@@ -51,6 +51,27 @@ def test_data_parallel_train_step(tiny_config):
     assert float(metrics["count"]) == 16
 
 
+def test_4d_volume_stream_sharded(tiny_config):
+    """4D mode: the folded B*T stream shards over the data axis even when
+    B < n_devices (batch arrives replicated)."""
+    from neurovit_tpu.models import NeuroEncoder
+    from neurovit_tpu.training import Trainer
+
+    config = dict(tiny_config)
+    config.update({"TRAINING_DIM": 4, "DATASET_NAME": "adni",
+                   "TRAINING_BATCH_SIZE": 2, "TRAINING_EPOCHS": 1})
+    model = NeuroEncoder(config)
+    import test_trainer_4d
+    ds = test_trainer_4d.Synthetic4D(4, t=4)   # B*T = 8 divides 8 devices
+    trainer = Trainer(config, model, ds, test_trainer_4d.Synthetic4D(2, t=4))
+    batch = shard_batch(trainer._device_batch(next(iter(trainer.dataloader))),
+                        trainer.mesh, replicate=True)
+    assert batch["volume"].shape[0] == 2          # no B padding in 4D
+    trainer.train_state, metrics = trainer._train_step(
+        trainer.train_state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_tensor_parallel_shardings(tiny_config):
     """TP rules split qkv/mlp weights over the model axis."""
     from neurovit_tpu.models import NeuroEncoder
