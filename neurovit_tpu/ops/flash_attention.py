@@ -38,8 +38,13 @@ MAX_RESIDENT_N = 4096   # above this, fall back to the XLA path
 
 
 def _block_q(n_pad: int) -> int:
-    """Largest of {256, 128} that divides n_pad (n_pad is a LANE multiple)."""
-    return 256 if n_pad % 256 == 0 else LANE
+    """Largest of {512, 256, 128} that divides n_pad (a LANE multiple).
+    Bigger Q blocks amortize the per-block K/V reuse and VPU softmax setup;
+    512x1024 f32 scores (2 MB) still fit VMEM comfortably."""
+    for b in (512, 256):
+        if n_pad % b == 0:
+            return b
+    return LANE
 
 
 def _dropout_mask(shape, keep: float):
