@@ -55,8 +55,14 @@ class ADNIDataset:
 
         if generate_data:
             self.generate_data()
-        with open(self.dataset_path, "rb") as f:
-            self.data = pickle.load(f)
+        try:
+            with open(self.dataset_path, "rb") as f:
+                self.data = pickle.load(f)
+        except FileNotFoundError as e:
+            raise FileNotFoundError(
+                f"Dataset index {self.dataset_path} not found. Generate it "
+                f"first: set DATASET_GENERATE: True (requires the CSV "
+                f"manifest, see src/data/README.md).") from e
         print(f"Dataset initialized: {len(self.data)} {mode} samples")
 
     # ------------------------------------------------------------------

@@ -37,8 +37,14 @@ class ADNIDataset4D:
 
         if generate_data:
             self.generate_data()
-        with open(self.dataset_path, "rb") as f:
-            self.data = pickle.load(f)
+        try:
+            with open(self.dataset_path, "rb") as f:
+                self.data = pickle.load(f)
+        except FileNotFoundError as e:
+            raise FileNotFoundError(
+                f"Dataset index {self.dataset_path} not found. Generate it "
+                f"first: set DATASET_GENERATE: True (requires the CSV "
+                f"manifest, see src/data/README.md).") from e
         # Q1/Q4 band filter on the age column (DatasetADNI_4D.py:29).
         self.data = [s for s in self.data if s[4] < 69 or s[4] > 78]
         print(f"Dataset initialized: {len(self.data)} {mode} samples")

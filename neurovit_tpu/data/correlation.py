@@ -9,7 +9,7 @@ callable + module main instead of module-level script code.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import pandas as pd

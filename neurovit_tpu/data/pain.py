@@ -47,8 +47,14 @@ class PainDataset:
         if generate_data:
             self.generate_data(config["PAIN_TRAIN_PKL_PATH"],
                                config["PAIN_VAL_PKL_PATH"])
-        with open(self.dataset_path, "rb") as f:
-            self.data = pickle.load(f)
+        try:
+            with open(self.dataset_path, "rb") as f:
+                self.data = pickle.load(f)
+        except FileNotFoundError as e:
+            raise FileNotFoundError(
+                f"Dataset index {self.dataset_path} not found. Generate it "
+                f"first: set DATASET_GENERATE: True (requires the CSV "
+                f"manifest, see src/data/README.md).") from e
         print(f"Dataset initialized: {len(self.data)} {mode} samples")
 
     def generate_data(self, train_path: str, val_path: str) -> None:

@@ -23,7 +23,6 @@ JAX with an explicit parameter pytree:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 LANE = 128          # TPU lane width; pad N to a multiple
 MAX_RESIDENT_N = 4096   # above this, fall back to the XLA path
+LOG2E = 1.4426950408889634  # softmax via exp2 (cheaper on the VPU)
 
 
 def _block_q(n_pad: int) -> int:
@@ -78,18 +79,21 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
 
     def body(qb, _):
         q = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        # exp2-softmax with deferred normalization: the row divide happens on
+        # the [block_q, D] output instead of the [block_q, N] probabilities.
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32) * (scale * LOG2E)
         s = jnp.where(pad_mask, s, NEG_INF)
         s = s - jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.exp2(s)
+        denom = jnp.sum(p, axis=1, keepdims=True)
         if dropout_rate > 0.0:
             pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * n_blocks + qb)
             mask = _dropout_mask((block_q, n_pad), keep)
             p = p * mask * (1.0 / keep)
         o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o = o / denom
         o_ref[0, pl.ds(qb * block_q, block_q), :] = o.astype(o_ref.dtype)
         return ()
 
@@ -120,13 +124,14 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
         q = q_ref[0, pl.ds(qb * block_q, block_q), :]
         do = do_ref[0, pl.ds(qb * block_q, block_q), :]
 
-        # Rematerialize P exactly as the forward did (bf16 in, f32 accum).
+        # Rematerialize P exactly as the forward did (bf16 in, f32 accum,
+        # exp2 path).
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32) * (scale * LOG2E)
         s = jnp.where(pad_mask, s, NEG_INF)
         s = s - jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s)
+        p = jnp.exp2(s)
         p = p / jnp.sum(p, axis=1, keepdims=True)
 
         if dropout_rate > 0.0:

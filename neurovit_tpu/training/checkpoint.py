@@ -14,10 +14,9 @@ resume (SURVEY §5.4). We keep that cadence and add what TPU production needs:
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from neurovit_tpu.training import state_dict as sd

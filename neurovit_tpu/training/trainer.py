@@ -38,11 +38,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from neurovit_tpu import nn
 from neurovit_tpu.data.loader import DataLoader
 from neurovit_tpu.models.neuro_encoder import NeuroEncoder
-from neurovit_tpu.parallel import (batch_sharding, create_mesh,
-                                   param_shardings, replicated, shard_batch)
+from neurovit_tpu.parallel import (create_mesh, param_shardings,
+                                   replicated, shard_batch)
 from neurovit_tpu.training.metrics import MetricLogger
 from neurovit_tpu.training import checkpoint as ckpt
 

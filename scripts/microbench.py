@@ -82,14 +82,6 @@ def main():
     aflops = 6 * 4 * B * 8 * N * N * 64
     print(f"6x flash attn    : {t*1e3:6.1f}ms  {aflops/t/1e12:6.1f} TF/s")
 
-    @jax.jit
-    def qkv_reshape(x):
-        def one(h, _):
-            qkv = h.reshape(B, N, 3, 8, 64).transpose(0, 3, 1, 4, 2)
-            return qkv[..., 0].reshape(B, 8, N, 64).reshape(B, N, 512).repeat(3, -1), None
-        h, _ = jax.lax.scan(one, x.repeat(2, axis=-1)[..., :1536], None, length=6)
-        return h
-
     vol = jnp.asarray(rng.randn(B, 1, 90, 90, 90), jnp.bfloat16)
 
     @jax.jit
