@@ -1,0 +1,72 @@
+"""4D training throughput: fMRI sequences/sec (frozen encoder + temporal head).
+
+The north-star's second metric (BASELINE.json): 4D sequences/sec on the
+reference configuration — batch 2, T=140 timepoints, 90^3 volumes, frozen
+ViT3D volume encoder feeding the temporal transformer (config4D.yaml).
+"""
+
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+B, T = 2, 140
+
+
+def main():
+    from neurovit_tpu.config import load_config
+    from neurovit_tpu.models import NeuroEncoder
+
+    config = load_config("configs/config4D.yaml", overrides={
+        "KERNEL_IMPL": "pallas", "TRAINING_PRECISION": "bf16"})
+    model = NeuroEncoder(config)
+    variables = model.init(jax.random.key(0))
+    params = variables["params"]
+    mask = model.trainable_mask(params)
+    tx = optax.masked(optax.adamw(config["TRAINING_LEARNING_RATE"]), mask)
+    opt_state = tx.init(params)
+    x = jnp.asarray(np.random.RandomState(0).randn(B, 90, 90, 90, T),
+                    jnp.float32)
+    labels = jnp.asarray(np.random.RandomState(1).randint(0, 2, B))
+    rng = jax.random.key(1, impl="rbg")
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, rng):
+        rng, srng = jax.random.split(rng)
+
+        def loss_fn(p):
+            logits, _ = model.apply(p, x, deterministic=False, rng=srng)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, rng, loss
+
+    t0 = time.perf_counter()
+    params, opt_state, rng, loss = step(params, opt_state, rng)
+    float(loss)
+    print(f"compile+first step: {time.perf_counter()-t0:.1f}s")
+    for _ in range(2):
+        params, opt_state, rng, loss = step(params, opt_state, rng)
+    float(loss)
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, rng, loss = step(params, opt_state, rng)
+    float(loss)
+    dt = time.perf_counter() - t0
+    print(f"4D train: {B*iters/dt:.2f} sequences/sec "
+          f"({dt/iters*1e3:.0f} ms/step, {B*T*iters/dt:.1f} volumes/sec "
+          f"through the frozen encoder, loss {float(loss):.4f})")
+
+
+if __name__ == "__main__":
+    print(jax.devices())
+    main()
