@@ -193,6 +193,20 @@ class Trainer:
             ckpt.save_last_model(self.train_state, self.model)
             print(f"MODEL SAVED to .{path}/model-e{epoch}")
 
+    def _device_prefetch(self, loader):
+        """Yield device-resident batches one transfer ahead of consumption,
+        overlapping host->HBM transfer with the device step."""
+        it = iter(loader)
+        pending = None
+        for batch in it:
+            ready = pending
+            pending = shard_batch(self._device_batch(batch), self.mesh,
+                                  replicate=self.model.is_4d)
+            if ready is not None:
+                yield ready
+        if pending is not None:
+            yield pending
+
     def train(self, epoch: int) -> None:
         self.dataloader.set_epoch(epoch)
         running: list = []
@@ -201,12 +215,10 @@ class Trainer:
         # (TRAINING_PROFILE_STEPS > 0 -> trace into GLOBAL_OUTPUT_DIR/profile).
         profile_steps = (self.config.get("TRAINING_PROFILE_STEPS", 0)
                          if epoch == 0 else 0)
-        for i, batch in enumerate(self.dataloader):
+        for i, batch in enumerate(self._device_prefetch(self.dataloader)):
             if profile_steps and i == 2:
                 jax.profiler.start_trace(
                     os.path.join(self.output_dir, "profile"))
-            batch = shard_batch(self._device_batch(batch), self.mesh,
-                                replicate=self.model.is_4d)
             self.train_state, metrics = self._train_step(self.train_state, batch)
             if profile_steps and i == 2 + profile_steps:
                 jax.block_until_ready(metrics["loss"])

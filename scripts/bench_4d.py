@@ -37,7 +37,7 @@ def main():
     rng = jax.random.key(1, impl="rbg")
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, rng):
+    def step(params, opt_state, rng, x, labels):
         rng, srng = jax.random.split(rng)
 
         def loss_fn(p):
@@ -50,16 +50,16 @@ def main():
         return optax.apply_updates(params, updates), opt_state, rng, loss
 
     t0 = time.perf_counter()
-    params, opt_state, rng, loss = step(params, opt_state, rng)
+    params, opt_state, rng, loss = step(params, opt_state, rng, x, labels)
     float(loss)
     print(f"compile+first step: {time.perf_counter()-t0:.1f}s")
     for _ in range(2):
-        params, opt_state, rng, loss = step(params, opt_state, rng)
+        params, opt_state, rng, loss = step(params, opt_state, rng, x, labels)
     float(loss)
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        params, opt_state, rng, loss = step(params, opt_state, rng)
+        params, opt_state, rng, loss = step(params, opt_state, rng, x, labels)
     float(loss)
     dt = time.perf_counter() - t0
     print(f"4D train: {B*iters/dt:.2f} sequences/sec "
