@@ -181,6 +181,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help="Enable metric tracking (wandb if installed, else local JSONL)")
     parser.add_argument("--config", type=str, default=None,
                         help="Config YAML path (default: configs/config.yaml)")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Resume training from an Orbax checkpoint dir "
+                             "(restores params + optimizer + epoch + RNG)")
     parser.add_argument("--folds", type=int, default=0,
                         help="Run k-fold cross-validation over fold indexes "
                              "written by generate_folds (the reference's "
@@ -198,5 +201,6 @@ def get_config(args: argparse.Namespace) -> Dict[str, Any]:
         "INFERENCE": args.inference,
         "SWEEP": args.sweep,
         "FOLDS": getattr(args, "folds", 0),
+        "RESUME": getattr(args, "resume", None),
     })
     return config

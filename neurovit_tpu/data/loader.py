@@ -115,8 +115,3 @@ class DataLoader:
                 except queue.Empty:
                     break
 
-
-def eval_loader(dataset, batch_size: int = 1, num_workers: int = 4) -> DataLoader:
-    """Batch-size-1 style evaluation sweep (reference Trainer.py:141)."""
-    return DataLoader(dataset, batch_size, shuffle=False,
-                      num_workers=num_workers)

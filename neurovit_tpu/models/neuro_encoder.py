@@ -28,6 +28,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from neurovit_tpu import nn
 from neurovit_tpu.models import resnet3d, temporal, vit3d
 from neurovit_tpu.ops import resolve_impl
 
@@ -162,8 +163,7 @@ class NeuroEncoder:
         enc = temporal.apply(params["temporal"], enc, self.temporal_cfg,
                              deterministic=deterministic, rng=rng)
         pooled = jnp.mean(enc, axis=1)               # mean over T
-        from neurovit_tpu import nn as _nn
-        logits = _nn.linear(params["projection"], pooled).astype(jnp.float32)
+        logits = nn.linear(params["projection"], pooled).astype(jnp.float32)
         return logits, {"state": new_state, "probe": probe}
 
     # -- training support ---------------------------------------------------

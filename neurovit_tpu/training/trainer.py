@@ -90,7 +90,6 @@ class Trainer:
         if variables is None:
             variables = model.init(jax.random.key(seed))
         params, model_state = variables["params"], variables["state"]
-        self.lr = config["TRAINING_LEARNING_RATE"]
         self.accum = max(1, int(config.get("TRAINING_ACCUMULATION_STEP", 1)))
         mask = model.trainable_mask(params)
         from neurovit_tpu.training.optim import build_optimizer
@@ -227,7 +226,7 @@ class Trainer:
             running.append(metrics)  # device arrays; fetched at log boundary
 
             if i != 0 and i % self.log_interval == 0:
-                window = running[-self.log_interval:]
+                window = running  # cleared at each log boundary
                 avg_loss = round(float(np.mean([m["loss"] for m in window])), 5)
                 correct = float(np.sum([m["correct"] for m in window]))
                 total = float(np.sum([m["count"] for m in window]))
