@@ -102,7 +102,9 @@ def main():
 
         sweep_path = os.path.join(config["GLOBAL_BASE_PATH"],
                                   "configs/sweep.yaml")
-        best = run_sweep(config, train_fn, sweep_path, count=50)
+        # 50 trials matches the reference's wandb.agent count (main.py:157).
+        best = run_sweep(config, train_fn, sweep_path,
+                         count=config.get("SWEEP_COUNT", 50))
         print(f"Sweep finished: best={best}")
 
     else:
