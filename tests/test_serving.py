@@ -1,0 +1,33 @@
+"""Predictor: checkpoint load, fixed-batch compile, remainder handling."""
+
+import jax
+import numpy as np
+
+from neurovit_tpu.models import NeuroEncoder
+from neurovit_tpu.serving import Predictor
+from neurovit_tpu.training import state_dict as sd
+
+
+def test_predictor_from_checkpoint_and_remainders(tiny_config, tmp_path):
+    model = NeuroEncoder(tiny_config)
+    variables = model.init(jax.random.key(0))
+    path = str(tmp_path / "model.pkl")
+    sd.save(path, sd.to_state_dict(model, variables["params"]))
+
+    predictor = Predictor.from_checkpoint(tiny_config, path, batch_size=4)
+    vols = np.random.RandomState(0).randn(7, 20, 20, 20).astype(np.float32)
+    labels, probs = predictor(vols)
+    assert labels.shape == (7,)
+    assert probs.shape == (7, model.num_classes)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
+
+    # Padding of the remainder must not change results vs single calls.
+    labels1, probs1 = predictor(vols[:1])
+    np.testing.assert_allclose(probs1[0], probs[0], atol=1e-5)
+
+    # Checkpoint weights actually loaded (different init -> same outputs
+    # as the saved model's direct forward).
+    import jax.numpy as jnp
+    direct, _ = model.apply(variables["params"], jnp.asarray(vols[:2]))
+    direct_probs = np.asarray(jax.nn.softmax(direct, axis=-1))
+    np.testing.assert_allclose(probs[:2], direct_probs, atol=1e-4)
