@@ -38,11 +38,15 @@ MAX_RESIDENT_N = 4096   # above this, fall back to the XLA path
 LOG2E = 1.4426950408889634  # softmax via exp2 (cheaper on the VPU)
 
 
-def _block_q(n_pad: int) -> int:
-    """Largest of {512, 256, 128} that divides n_pad (a LANE multiple).
-    Bigger Q blocks amortize the per-block K/V reuse and VPU softmax setup;
-    512x1024 f32 scores (2 MB) still fit VMEM comfortably."""
-    for b in (512, 256):
+def _block_q(n_pad: int, is_bwd: bool = False) -> int:
+    """Largest Q block that divides n_pad (a LANE multiple) within VMEM.
+    Bigger blocks amortize K/V reuse and VPU softmax setup. Forward fits the
+    whole sequence (scores <= 1024x2048 f32 = 8 MB); backward holds extra
+    f32 intermediates (p, dp, ds) so it caps at 512."""
+    for b in ((512,) if is_bwd else (1024, 512)):
+        if n_pad % b == 0 and b <= n_pad:
+            return b
+    for b in (256, LANE):
         if n_pad % b == 0:
             return b
     return LANE
@@ -63,7 +67,10 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
                 scale: float, n_valid: int, dropout_rate: float):
     n_pad = q_ref.shape[1]
     d = q_ref.shape[2]
-    block_q = _block_q(n_pad)
+    # With dropout the backward regenerates the per-(program, q-block) mask,
+    # so fwd/bwd MUST tile Q identically; deterministic forwards (eval,
+    # serving) use the larger whole-sequence block.
+    block_q = _block_q(n_pad, is_bwd=dropout_rate > 0.0)
     n_blocks = n_pad // block_q
     keep = 1.0 - dropout_rate
 
@@ -108,7 +115,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
                 scale: float, n_valid: int, dropout_rate: float):
     n_pad = q_ref.shape[1]
-    block_q = _block_q(n_pad)
+    block_q = _block_q(n_pad, is_bwd=True)
     n_blocks = n_pad // block_q
     keep = 1.0 - dropout_rate
 
