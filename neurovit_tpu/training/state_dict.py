@@ -200,5 +200,12 @@ def save(path: str, state_dict: Dict[str, np.ndarray]) -> None:
 
 
 def load(path: str) -> Dict[str, np.ndarray]:
+    """Load a flat numpy state dict — our pickle format, or a real PyTorch
+    ``.pth`` (zip) file via the torch-free reader (torch_pth.py), so
+    reference checkpoints import directly."""
+    import zipfile
+    if zipfile.is_zipfile(path):
+        from neurovit_tpu.training.torch_pth import load_torch_state_dict
+        return load_torch_state_dict(path)
     with open(path, "rb") as f:
         return pickle.load(f)
