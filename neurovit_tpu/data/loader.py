@@ -32,7 +32,7 @@ ARRAY_FIELDS = ("volume", "label", "timepoint", "group", "gender", "age",
 class DataLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
                  num_workers: int = 8, seed: int = 0, drop_last: bool = False,
-                 prefetch: int = 2):
+                 prefetch: int = 2, retries: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -40,7 +40,23 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # Transient-I/O resilience (the reference has none, SURVEY §5.3):
+        # a failed/None sample read is retried before being skipped+masked.
+        self.retries = retries
         self.epoch = 0
+
+    def _fetch(self, idx):
+        for attempt in range(self.retries + 1):
+            try:
+                sample = self.dataset.sample(idx)
+            except Exception as e:
+                if attempt == self.retries:
+                    raise
+                print(f"Retrying sample {idx} after error: {e}")
+                continue
+            if sample is not None:
+                return sample
+        return None
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -87,7 +103,7 @@ class DataLoader:
                         if stop.is_set():
                             return
                         idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                        samples = list(pool.map(self.dataset.sample, idxs))
+                        samples = list(pool.map(self._fetch, idxs))
                         samples = [s for s in samples if s is not None]
                         if not samples:
                             continue

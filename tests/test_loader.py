@@ -61,6 +61,34 @@ def test_none_samples_are_skipped_not_fatal():
     assert total == 7
 
 
+def test_transient_failure_is_retried():
+    """A sample that fails once then succeeds is recovered by the retry
+    (transient-I/O resilience; the reference has none, SURVEY §5.3)."""
+    class Flaky(ToyDataset):
+        def __init__(self, n):
+            super().__init__(n)
+            self.attempts = {}
+
+        def sample(self, idx):
+            self.attempts[idx] = self.attempts.get(idx, 0) + 1
+            if idx == 3 and self.attempts[idx] == 1:
+                raise OSError("transient read error")
+            return super().sample(idx)
+
+    ds = Flaky(8)
+    loader = DataLoader(ds, 4, num_workers=2, retries=1)
+    total = sum(int(b["valid"].sum()) for b in loader)
+    assert total == 8
+    assert ds.attempts[3] == 2
+
+
+def test_retries_exhausted_still_propagates():
+    loader = DataLoader(ToyDataset(8, fail_at=5), 4, num_workers=2, retries=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        for _ in loader:
+            pass
+
+
 def test_early_break_does_not_hang():
     loader = DataLoader(ToyDataset(100), 4, num_workers=2, prefetch=2)
     for i, _ in enumerate(loader):
