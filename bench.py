@@ -25,7 +25,8 @@ import optax
 
 A100_REFERENCE_VOLUMES_PER_SEC = 250.0
 
-BATCH = int(__import__("os").environ.get("BENCH_BATCH", "32"))
+BATCH = int(__import__("os").environ.get("BENCH_BATCH", "64"))
+REMAT = __import__("os").environ.get("BENCH_REMAT", "0") == "1"
 WARMUP = 3
 ITERS = 10
 
@@ -42,6 +43,7 @@ def main():
         "TRAINING_DROPOUT": 0.1,
         "TRAINING_PRECISION": "bf16",
         "KERNEL_IMPL": "auto",
+        "TRAINING_REMAT": REMAT,
     })
     model = NeuroEncoder(config)
     variables = model.init(jax.random.key(0))
