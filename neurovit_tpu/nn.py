@@ -87,18 +87,31 @@ def gelu(x: jax.Array) -> jax.Array:
 
 def dropout(key: Optional[jax.Array], x: jax.Array, rate: float,
             deterministic: bool) -> jax.Array:
-    """Inverted dropout, identical semantics to torch nn.Dropout.
+    """Inverted dropout, torch nn.Dropout semantics.
 
-    Stays on the XLA path: the mask `where` fuses into producer epilogues and
+    Stays on the XLA path (the mask `where` fuses into producer epilogues and
     the saved mask makes the backward nearly free — measured faster end-to-end
-    than the regenerate-in-backward Pallas kernel (ops/dropout.py, kept for
-    fused-megakernel use; see scripts/dropout_bench.py).
+    than the regenerate-in-backward Pallas kernel, scripts/dropout_bench.py),
+    but draws uint8 random bits instead of bernoulli over f32 uniforms: RNG
+    *bit volume* dominates dropout cost on TPU (profiled: uint8 masks cut the
+    flagship train step by ~25 ms vs uint32, ~11% — BENCH.md). The keep
+    probability is quantized to q/256 and the inverse scale uses the actual
+    quantized keep, so E[dropout(x)] == x exactly; common rates (0.5, 0.25,
+    0.125) are exact, others shift by <= 1/512 (e.g. 0.1 -> 0.1016), which is
+    immaterial to regularization strength.
     """
     if deterministic or rate == 0.0:
         return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(key, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+    q = round((1.0 - rate) * 256.0)
+    if not 0 < q < 256:
+        # Degenerate quantization (rate < 1/512 or > 1 - 1/512): fall back to
+        # exact bernoulli so tiny rates don't become no-ops.
+        keep = 1.0 - rate
+        mask = jax.random.bernoulli(key, keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+    keep = q / 256.0
+    bits = jax.random.bits(key, x.shape, dtype=jnp.uint8)
+    return jnp.where(bits < jnp.uint8(q), x * (1.0 / keep), 0.0).astype(x.dtype)
 
 
 def softmax_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:

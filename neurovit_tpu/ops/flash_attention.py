@@ -59,8 +59,26 @@ def _block_q(n_pad: int, is_bwd: bool = False) -> int:
     return LANE
 
 
+def _quantized_keep(keep: float) -> float:
+    """Keep probability quantized to q/256 — matches nn.dropout and lets the
+    mask use one random byte per element (4x fewer PRNG words)."""
+    q = int(round(keep * 256.0))
+    return q / 256.0 if 0 < q < 256 else keep
+
+
 def _dropout_mask(shape, keep: float):
-    """Bernoulli(keep) {0,1} mask from the seeded per-core PRNG."""
+    """Bernoulli(keep) {0,1} mask from the seeded per-core PRNG.
+
+    Draws (m//4, n) uint32 words and bitcasts to (m, n) uint8 (the bitcast
+    expands the sublane dim): PRNG generation volume is the dominant dropout
+    cost, and one byte per element is plenty for a keep threshold. The keep
+    probability is quantized to q/256 with the inverse scale corrected by the
+    caller via _quantized_keep, so the mask stays unbiased."""
+    m, n = shape
+    q = int(round(keep * 256.0))
+    if 0 < q < 256 and m % 4 == 0:
+        bits = pltpu.bitcast(pltpu.prng_random_bits((m // 4, n)), jnp.uint8)
+        return (bits.astype(jnp.int32) < q).astype(jnp.float32)
     bits = pltpu.prng_random_bits(shape)
     threshold = jnp.uint32(int(keep * 4294967295.0))
     return (pltpu.bitcast(bits, jnp.uint32) < threshold).astype(jnp.float32)
@@ -79,7 +97,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
     # serving) use the larger whole-sequence block.
     block_q = _block_q(n_pad, is_bwd=dropout_rate > 0.0)
     n_blocks = n_pad // block_q
-    keep = 1.0 - dropout_rate
+    keep = _quantized_keep(1.0 - dropout_rate)
 
     # Keep operands in their storage dtype (bf16): the MXU accumulates in
     # f32 via preferred_element_type, and bf16 passes are ~8x faster than
@@ -126,7 +144,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
     n_pad = q_ref.shape[1]
     block_q = _block_q(n_pad, is_bwd=True)
     n_blocks = n_pad // block_q
-    keep = 1.0 - dropout_rate
+    keep = _quantized_keep(1.0 - dropout_rate)
 
     k = k_ref[0]
     v = v_ref[0]

@@ -31,8 +31,8 @@ def run_and_trace():
     params = variables["params"]
     tx = optax.adamw(1e-4, weight_decay=0.01)
     opt_state = tx.init(params)
-    x = jnp.asarray(np.random.RandomState(0).randn(32, 90, 90, 90), jnp.float32)
-    labels = jnp.asarray(np.random.RandomState(1).randint(0, 2, 32))
+    x = jnp.asarray(np.random.RandomState(0).randn(64, 90, 90, 90), jnp.float32)
+    labels = jnp.asarray(np.random.RandomState(1).randint(0, 2, 64))
     rng = jax.random.key(1, impl="rbg")
 
     @jax.jit
