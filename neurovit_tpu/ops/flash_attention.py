@@ -131,7 +131,10 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
         o_ref[0, pl.ds(qb * block_q, block_q), :] = o.astype(o_ref.dtype)
         return ()
 
-    jax.lax.fori_loop(0, n_blocks, body, ())
+    # Static unroll: n_blocks is tiny (1-2) and unrolling lets Mosaic overlap
+    # block i+1's QK^T on the MXU with block i's softmax on the VPU.
+    for qb in range(n_blocks):
+        body(qb, ())
 
 
 # ---------------------------------------------------------------------------
@@ -199,7 +202,8 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
             preferred_element_type=jnp.float32)
         return ()
 
-    jax.lax.fori_loop(0, n_blocks, body, ())
+    for qb in range(n_blocks):
+        body(qb, ())
     dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
     dv_ref[0] = (dv_acc[...] * (1.0 / keep)).astype(dv_ref.dtype)
 
