@@ -92,6 +92,24 @@ def summarize():
     for name, dur in top:
         print(f"  {dur/1e3/3:8.2f} ms/step  {name[:110]}")
 
+    # Aggregate by source line. CAVEAT: XLA attributes a whole fusion to one
+    # source line, so a "hot" line here may be carrying its fused neighbors
+    # (LN, dropout, bias adds) — verify with an end-to-end A/B before acting
+    # (we once misread the qkv einsum as slow this way; the plain-matmul
+    # "fix" regressed the step 4%).
+    by_src = defaultdict(float)
+    src_total = 0.0
+    for e in events:
+        args = e.get("args", {})
+        if e.get("ph") != "X" or "long_name" not in args:
+            continue
+        dur = float(args.get("device_duration_ps", 0)) / 1e12 * 1e3
+        by_src[args.get("source", "?")] += dur
+        src_total += dur
+    print(f"\nby source line ({src_total/3:.1f} ms/step attributed):")
+    for src, ms in sorted(by_src.items(), key=lambda kv: -kv[1])[:20]:
+        print(f"  {ms/3:8.2f} ms/step  {src}")
+
 
 if __name__ == "__main__":
     print(jax.devices())
