@@ -70,3 +70,26 @@ def test_dropout_scaling():
     np.testing.assert_allclose(np.asarray(y)[kept], 2.0)
     y_det = nn.dropout(None, x, 0.5, deterministic=True)
     np.testing.assert_array_equal(np.asarray(y_det), np.asarray(x))
+
+
+def test_dropout_quantized_keep_is_unbiased():
+    """uint8 masks quantize keep to q/256; the inverse scale must use the
+    quantized keep so E[dropout(x)] == x (nn.py docstring)."""
+    x = jnp.ones((200_000,))
+    y = np.asarray(nn.dropout(jax.random.key(1), x, 0.1, deterministic=False))
+    kept = y > 0
+    q_keep = round(0.9 * 256) / 256              # 230/256 = 0.8984375
+    assert abs(kept.mean() - q_keep) < 0.005     # quantized keep fraction
+    np.testing.assert_allclose(y[kept], 1.0 / q_keep, rtol=1e-6)
+    assert abs(y.mean() - 1.0) < 0.01            # unbiased overall
+
+
+def test_dropout_tiny_rate_falls_back_to_exact_bernoulli():
+    """rate < 1/512 would quantize to a no-op; the exact path must keep it a
+    real (tiny) dropout with 1/keep scaling."""
+    x = jnp.ones((300_000,))
+    rate = 0.001
+    y = np.asarray(nn.dropout(jax.random.key(2), x, rate, deterministic=False))
+    dropped = (y == 0).mean()
+    assert 0.0002 < dropped < 0.003              # not a no-op, near the rate
+    np.testing.assert_allclose(y[y > 0], 1.0 / (1.0 - rate), rtol=1e-6)
