@@ -72,9 +72,6 @@ class Trainer:
         self.num_workers = config.get("TRAINING_NUM_WORKERS", 8)
         self.mesh = mesh if mesh is not None else create_mesh(config)
         self.logger = logger if logger is not None else MetricLogger(config)
-        # Ambient mesh: lets the model use bare PartitionSpec sharding
-        # constraints (4D B*T stream sharding).
-        jax.set_mesh(self.mesh)
 
         self.data = dataset_train
         self.val_data = dataset_val
@@ -118,8 +115,8 @@ class Trainer:
             "epoch": self._replicate(jnp.zeros((), jnp.int32)),
         }
 
-        self._train_step = jax.jit(self._train_step_fn, donate_argnums=(0,))
-        self._eval_step = jax.jit(self._eval_step_fn)
+        self._train_step_jit = jax.jit(self._train_step_fn, donate_argnums=(0,))
+        self._eval_step_jit = jax.jit(self._eval_step_fn)
 
         self.log_interval = max(1, len(self.dataloader) // 10)  # Trainer.py:34
         total, trainable = model.param_count(params)
@@ -135,6 +132,18 @@ class Trainer:
     # ------------------------------------------------------------------
     # jitted steps
     # ------------------------------------------------------------------
+
+    def _train_step(self, ts, batch):
+        # The mesh is scoped (context manager), not process-global: several
+        # Trainers with different meshes can coexist in one process. Bare
+        # PartitionSpec sharding constraints inside the model (4D B*T stream
+        # sharding) resolve against this ambient mesh at trace time.
+        with jax.set_mesh(self.mesh):
+            return self._train_step_jit(ts, batch)
+
+    def _eval_step(self, params, model_state, batch):
+        with jax.set_mesh(self.mesh):
+            return self._eval_step_jit(params, model_state, batch)
 
     def _train_step_fn(self, ts, batch):
         rng, step_rng = jax.random.split(ts["rng"])

@@ -51,6 +51,41 @@ def test_data_parallel_train_step(tiny_config):
     assert float(metrics["count"]) == 16
 
 
+def test_dp_step_matches_single_device(tiny_config):
+    """A train step on the 8-device DP mesh must produce the SAME loss and
+    post-update params as the identical step on a 1-device mesh — wrong
+    collectives would pass a finite-loss check but fail this. Doubles as the
+    scoped-mesh regression: two Trainers with different meshes coexist in one
+    process (the mesh is a context around the jitted calls, not global)."""
+    from neurovit_tpu.data import get_datasets
+    from neurovit_tpu.models import NeuroEncoder
+    from neurovit_tpu.training import Trainer
+
+    config = dict(tiny_config)
+    config.update({"TRAINING_BATCH_SIZE": 16, "DATASET_GENERATE": True,
+                   "GRADCAM_NUM_SAMPLES": 64})
+    ds_train, ds_val = get_datasets(config)
+    model = NeuroEncoder(config)
+    mesh8 = create_mesh(config)
+    mesh1 = create_mesh(config, devices=jax.devices()[:1])
+    t8 = Trainer(config, model, ds_train, ds_val, mesh=mesh8)
+    t1 = Trainer(config, model, ds_train, ds_val, mesh=mesh1)
+
+    host = t8._device_batch(next(iter(t8.dataloader)))
+    ts8, m8 = t8._train_step(t8.train_state, shard_batch(host, mesh8))
+    ts1, m1 = t1._train_step(t1.train_state, shard_batch(host, mesh1))
+
+    # Same global batch, same init (same seed): losses differ only by
+    # cross-device reduction order.
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    assert float(m8["count"]) == float(m1["count"]) == 16
+    for a, b in zip(jax.tree.leaves(ts8["params"]),
+                    jax.tree.leaves(ts1["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_4d_volume_stream_sharded(tiny_config):
     """4D mode: the folded B*T stream shards over the data axis even when
     B < n_devices (batch arrives replicated)."""
