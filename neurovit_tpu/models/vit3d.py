@@ -286,6 +286,20 @@ def _mlp(block: dict, x: jax.Array, cfg: ViTConfig, *,
     return nn.dropout(drop_rngs[1], h, cfg.dropout, deterministic)
 
 
+def _mlp_residual(block: dict, x: jax.Array, cfg: ViTConfig, *,
+                  deterministic: bool, rng: Optional[jax.Array]) -> jax.Array:
+    """x + MLP(x), dispatching to the fused Pallas block kernel on the
+    pallas impl (ops/fused_mlp.py — LN, matmuls, GELU, dropout, and the
+    residual add in one kernel, weights VMEM-resident)."""
+    if cfg.impl == "pallas":
+        from neurovit_tpu.ops import fused_mlp
+        if fused_mlp.supports(cfg.dropout, deterministic):
+            return fused_mlp.fused_mlp_block(
+                block, x, dropout_rate=cfg.dropout, rng=rng,
+                deterministic=deterministic)
+    return _mlp(block, x, cfg, deterministic=deterministic, rng=rng) + x
+
+
 def _block_apply(block: dict, x: jax.Array, cfg: ViTConfig, *,
                  deterministic: bool, rng: Optional[jax.Array],
                  probe_shift: Optional[jax.Array] = None,
@@ -295,7 +309,7 @@ def _block_apply(block: dict, x: jax.Array, cfg: ViTConfig, *,
                                   rng=rngs[0], probe_shift=probe_shift,
                                   n_valid=n_valid)
     x = attn_out + x
-    x = _mlp(block, x, cfg, deterministic=deterministic, rng=rngs[1]) + x
+    x = _mlp_residual(block, x, cfg, deterministic=deterministic, rng=rngs[1])
     return x, ln_act
 
 

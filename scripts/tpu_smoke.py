@@ -94,6 +94,61 @@ def check_fused_dropout():
     print("fused dropout kernel OK")
 
 
+def check_fused_mlp():
+    """Compiled fused MLP block vs the XLA golden composition on-chip."""
+    from neurovit_tpu import nn
+    from neurovit_tpu.ops import fused_mlp
+
+    rng = np.random.RandomState(9)
+    dim, hid = 1024, 2048
+    k1, k2 = jax.random.split(jax.random.key(7))
+    params = {
+        "mlp_norm": nn.layer_norm_init(dim),
+        "fc1": nn.linear_init(k1, dim, hid),
+        "fc2": nn.linear_init(k2, hid, dim),
+    }
+    x = jnp.asarray(rng.randn(2, 1024, dim), jnp.bfloat16)
+
+    def golden(p, v):
+        h = nn.layer_norm(p["mlp_norm"], v)
+        h = nn.gelu(nn.linear(p["fc1"], h))
+        return nn.linear(p["fc2"], h) + v
+
+    got = fused_mlp.fused_mlp_block(params, x)
+    want = golden(params, x)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                - want.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(want.astype(jnp.float32))))
+    print(f"fused_mlp fwd max|err| = {err:.2e} (scale {scale:.1f})")
+    assert err < 0.15, "fused MLP forward mismatch"
+
+    cot = jnp.asarray(rng.randn(2, 1024, dim), jnp.float32)
+    g_ours = jax.grad(lambda p, v: jnp.sum(
+        fused_mlp.fused_mlp_block(p, v).astype(jnp.float32) * cot),
+        argnums=(0, 1))(params, x)
+    g_gold = jax.grad(lambda p, v: jnp.sum(
+        golden(p, v).astype(jnp.float32) * cot), argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(g_ours), jax.tree.leaves(g_gold)):
+        rel = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                    - b.astype(jnp.float32)))
+                    / (jnp.max(jnp.abs(b.astype(jnp.float32))) + 1e-6))
+        assert rel < 5e-2, f"fused MLP grad mismatch rel={rel}"
+    print("fused_mlp grads OK")
+
+    # In-kernel dropout: deterministic given rng, correct keep fraction.
+    key = jax.random.key(13)
+    y1 = fused_mlp.fused_mlp_block(params, x, dropout_rate=0.5, rng=key,
+                                   deterministic=False)
+    y2 = fused_mlp.fused_mlp_block(params, x, dropout_rate=0.5, rng=key,
+                                   deterministic=False)
+    assert bool(jnp.all(y1 == y2)), "fused MLP dropout not deterministic"
+    # The final dropout zeroes the MLP branch -> y == x there: ~50% of
+    # entries equal the residual input exactly.
+    frac = float(jnp.mean((y1 == x).astype(jnp.float32)))
+    assert 0.45 < frac < 0.55, f"dropout keep fraction off: {frac}"
+    print(f"fused_mlp dropout OK (residual-only fraction {frac:.3f})")
+
+
 def time_flagship(impl: str, batch: int = 32, iters: int = 10):
     import optax
     from neurovit_tpu.config import load_config
@@ -154,6 +209,7 @@ if __name__ == "__main__":
     print(f"devices: {jax.devices()}")
     check_kernel_numerics()
     check_fused_dropout()
+    check_fused_mlp()
     if not args.quick:
         def try_time(impl, batch):
             while batch >= 2:
