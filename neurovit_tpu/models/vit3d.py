@@ -190,15 +190,17 @@ def _patch_embed_conv(pe: dict, volume: jax.Array, cfg: ViTConfig
     b = pe["proj"]["bias"].astype(jnp.float32)
 
     # Patch-vector index order is (p1, p2, pf, c) (vit_3d.py:92); conv kernel
-    # wants [out, c, pf, p1, p2] (OIDHW with spatial (frames, H, W)).
+    # wants [pf, p1, p2, c, out] (DHWIO — channels-last is the TPU-native
+    # conv layout, and the NDHWC output reshapes straight into the token
+    # stream with no transpose).
     def to_conv_kernel(vec_w):
         k = vec_w.reshape(p, p, pf, c, dim)               # (p1, p2, pf, c, k)
-        return k.transpose(4, 3, 2, 0, 1)                 # [dim, c, pf, p1, p2]
+        return k.transpose(2, 0, 1, 3, 4)                 # [pf, p1, p2, c, k]
 
     compute_dtype = volume.dtype
-    x = volume
+    x = volume.transpose(0, 2, 3, 4, 1)                   # [B, D, H, W, C]
     strides = (pf, p, p)
-    dn = ("NCDHW", "OIDHW", "NCDHW")
+    dn = ("NDHWC", "DHWIO", "NDHWC")
 
     def conv(inp, kernel):
         # Uniform operand dtypes (mixed-dtype conv breaks the VJP transpose
@@ -209,19 +211,19 @@ def _patch_embed_conv(pe: dict, volume: jax.Array, cfg: ViTConfig
             precision=nn.matmul_precision(inp.dtype))
 
     t1 = conv(x, to_conv_kernel(w * gamma[:, None])).astype(jnp.float32)
-    ones = jnp.ones((1, c, pf, p, p), jnp.float32)
+    ones = jnp.ones((pf, p, p, c, 1), jnp.float32)
     xf = x.astype(jnp.float32)
-    mu = conv(xf, ones) / patch_dim                       # [B, 1, f, h, w]
+    mu = conv(xf, ones) / patch_dim                       # [B, f, h, w, 1]
     musq = conv(xf ** 2, ones) / patch_dim
     var = musq - mu ** 2
     inv_sigma = jax.lax.rsqrt(var + nn.LN_EPS)
 
-    s = (gamma @ w)[None, :, None, None, None]            # [1, dim, 1, 1, 1]
-    c0 = (beta @ w + b)[None, :, None, None, None]
-    out = (t1 - mu * s) * inv_sigma + c0                  # [B, dim, f, h, w]
+    s = (gamma @ w)[None, None, None, None, :]            # [1, 1, 1, 1, dim]
+    c0 = (beta @ w + b)[None, None, None, None, :]
+    out = (t1 - mu * s) * inv_sigma + c0                  # [B, f, h, w, dim]
 
     bsz = out.shape[0]
-    tokens = out.reshape(bsz, dim, -1).transpose(0, 2, 1)  # [B, (f h w), dim]
+    tokens = out.reshape(bsz, -1, dim)                    # [B, (f h w), dim]
     tokens = tokens.astype(compute_dtype)
     return nn.layer_norm(pe["norm_post"], tokens)
 

@@ -107,9 +107,11 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
 
     # Static key-padding mask (shapes are static under jit), applied as a
     # multiply AFTER exp2 so it fuses into the same elementwise pass — no
-    # NEG_INF select pass, and exact zeros for padded keys.
-    kv_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, n_pad), 1)
-    pad_maskf = (kv_ids < n_valid).astype(jnp.float32)
+    # NEG_INF select pass, and exact zeros for padded keys. Skipped entirely
+    # when the sequence is unpadded (serving / lane-aligned shapes).
+    if n_valid < n_pad:
+        kv_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, n_pad), 1)
+        pad_maskf = (kv_ids < n_valid).astype(jnp.float32)
 
     def body(qb, _):
         q = q_ref[0, pl.ds(qb * block_q, block_q), :]
@@ -119,7 +121,9 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * (scale * LOG2E)
-        p = jnp.exp2(jnp.clip(s, -SCORE_CAP, SCORE_CAP)) * pad_maskf
+        p = jnp.exp2(jnp.clip(s, -SCORE_CAP, SCORE_CAP))
+        if n_valid < n_pad:
+            p = p * pad_maskf
         denom = jnp.sum(p, axis=1, keepdims=True)
         if dropout_rate > 0.0:
             pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * n_blocks + qb)
