@@ -44,6 +44,50 @@ def sample_params(space: Dict[str, Any], rng: np.random.RandomState
     return out
 
 
+def _wandb_if_enabled(config: Dict[str, Any]):
+    """The wandb module when installed AND WANDB_ENABLED, else None."""
+    if not config.get("WANDB_ENABLED", False):
+        return None
+    try:
+        import wandb  # type: ignore
+        return wandb
+    except ImportError:
+        return None
+
+
+def _run_wandb_agent(wandb, base_config, train_fn, sweep_cfg, count,
+                     metric_name, sign, log):
+    """The reference's wandb.sweep + wandb.agent flow (main.py:149-157).
+
+    Each agent trial mirrors the reference's ``train_sweep``
+    (``main.py:65-84``): wandb.init gives the sampled params in
+    ``wandb.config``; they overwrite the base config — but through
+    ``apply_sweep_overrides`` so lowercase sweep names reach the real
+    UPPERCASE keys (quirk §2.1.5 fix).
+    """
+    best = {"best_params": None, "best_metric": None, "trials": 0}
+
+    def trial_fn():
+        with wandb.init() as _run:
+            params = dict(wandb.config)
+            config = apply_sweep_overrides(base_config, params)
+            metrics = train_fn(config)
+            wandb.log(metrics)
+        value = float(metrics[metric_name])
+        log.write(json.dumps({"trial": best["trials"], "params": params,
+                              "metrics": metrics}) + "\n")
+        log.flush()
+        best["trials"] += 1
+        if (best["best_metric"] is None
+                or sign * value < sign * best["best_metric"]):
+            best["best_metric"] = value
+            best["best_params"] = params
+
+    sweep_id = wandb.sweep(sweep_cfg, project="NeuroViT_Sweep")
+    wandb.agent(sweep_id, function=trial_fn, count=count)
+    return best
+
+
 def run_sweep(base_config: Dict[str, Any],
               train_fn: Callable[[Dict[str, Any]], Dict[str, float]],
               sweep_config_path: str, count: int = 50) -> Dict[str, Any]:
@@ -63,6 +107,12 @@ def run_sweep(base_config: Dict[str, Any],
     out_dir = base_config.get("GLOBAL_OUTPUT_DIR", "./results/runs")
     os.makedirs(out_dir, exist_ok=True)
     log_path = os.path.join(out_dir, "sweep_results.jsonl")
+
+    wandb = _wandb_if_enabled(base_config)
+    if wandb is not None:
+        with open(log_path, "a") as log:
+            return _run_wandb_agent(wandb, base_config, train_fn, sweep_cfg,
+                                    count, metric_name, sign, log)
 
     best = {"best_params": None, "best_metric": None, "trials": 0}
     with open(log_path, "a") as log:
