@@ -162,24 +162,60 @@ class ADNIDataset:
     def __len__(self) -> int:
         return len(self.data)
 
+    def sample_meta(self, idx: int) -> Dict[str, Any]:
+        """Everything ``sample`` returns except the volume — no file read."""
+        subject, timepoint, fmri_path, group, gender, age = self.data[idx]
+        labels = {
+            "group": 0 if group == "CN" else 1,
+            "gender": 0 if gender == "F" else 1,
+            "age": int(age),
+            "age_group": 0 if age < 69 else 1,
+        }
+        return {
+            "label": labels[self.label_key],
+            "subject": subject,
+            "timepoint": int(timepoint),
+            **labels,
+        }
+
+    def read_batch_volumes(self, idxs, n_threads: int = 8):
+        """Whole-batch volume read via the native threaded reader: one
+        contiguous z-major [B, Z, Y, X] buffer filled GIL-free in C++
+        (csrc nvt_read_batch), returned as the [B, X, Y, Z] transpose view.
+        Skips the per-sample np.stack memcpy entirely — the loader attaches
+        this directly as the batch "volume". Returns None whenever the fast
+        path doesn't apply (transforms on, native lib absent, .gz files,
+        mixed geometries, or any read failure) — the caller falls back to
+        per-sample reads."""
+        from neurovit_tpu.data import native_io
+        if self.transforms or not self.config.get("DATA_NATIVE_IO", True):
+            return None
+        rows = [self.data[int(i)] for i in idxs]
+        paths = [r[2] for r in rows]
+        tps = [int(r[1]) for r in rows]
+        if not all(native_io.usable_for(p) for p in paths):
+            return None
+        try:
+            shapes = {p: nifti.peek_shape(p)[:3] for p in set(paths)}
+        except Exception:
+            return None
+        if len(set(shapes.values())) != 1:
+            return None
+        sx, sy, sz = shapes[paths[0]]
+        out_shape = (sx - 1, sy - 19, sz - 1)
+        return native_io.read_batch(paths, tps, ((1, 0), (10, -9), (1, 0)),
+                                    out_shape, zscore=True,
+                                    n_threads=n_threads)
+
     def sample(self, idx: int) -> Optional[Dict[str, Any]]:
         subject, timepoint, fmri_path, group, gender, age = self.data[idx]
         try:
             vol = self._read_volume(fmri_path, timepoint)
             if self.transforms:
                 vol = rand_spatial_crop(vol, self.crop_size, self._rng)
-            labels = {
-                "group": 0 if group == "CN" else 1,
-                "gender": 0 if gender == "F" else 1,
-                "age": int(age),
-                "age_group": 0 if age < 69 else 1,
-            }
             return {
                 "volume": vol,
-                "label": labels[self.label_key],
-                "subject": subject,
-                "timepoint": int(timepoint),
-                **labels,
+                **self.sample_meta(idx),
             }
         except Exception as e:
             print(f"Error loading fMRI for subject {subject}: {e}")
@@ -188,14 +224,22 @@ class ADNIDataset:
     def _read_volume(self, fmri_path: str, timepoint: int) -> np.ndarray:
         """(91,109,91,T) -> cropped (90,90,90) z-scored single timepoint.
 
-        DATA_NATIVE_IO selects the C++ reader (csrc/nifti_native.cpp) —
-        GIL-free batch fan-out for many-core hosts. Default is the numpy
-        memmap path: on this single-core build box numpy's strided copy
-        measured ~2x faster per sample (scripts/data_bench.py), so native is
-        opt-in rather than auto. Identical output either way (tested).
+        Both paths return a z-major array: memory is C-ordered [Z, Y, X]
+        (x-contiguous like the NIfTI file itself, so the read is sequential
+        row copies instead of a transposing gather — measured 2.4-2.7x
+        faster, scripts/native_io_bench.py), exposed as the zero-copy
+        [X, Y, Z] transpose view with exactly the reference's values
+        (DatasetADNI.py:211-213). The loader's collate and the trainer keep
+        the raw buffer zero-copy all the way to the device, where the layout
+        transpose fuses into the patch-embed pipeline for free.
+
+        DATA_NATIVE_IO (default True when the lib is built) selects the C++
+        reader (csrc/nifti_native.cpp) — 1.4x faster single-threaded and
+        GIL-free batch fan-out for many-core hosts. Identical output either
+        way (tested).
         """
         from neurovit_tpu.data import native_io
-        if (self.config.get("DATA_NATIVE_IO", False)
+        if (self.config.get("DATA_NATIVE_IO", True)
                 and native_io.usable_for(fmri_path)):
             shape = nifti.peek_shape(fmri_path)
             out_shape = (shape[0] - 1, shape[1] - 19, shape[2] - 1)
@@ -205,8 +249,8 @@ class ADNIDataset:
             if vol is not None:
                 return vol
         img = nifti.load(fmri_path)
-        vol = np.asarray(img.dataobj[1:, 10:-9, 1:, timepoint],
-                         dtype=np.float32)
-        return zscore(vol)
+        raw = np.asarray(img.dataobj[1:, 10:-9, 1:, timepoint]
+                         .transpose(2, 1, 0), dtype=np.float32)
+        return zscore(raw).transpose(2, 1, 0)
 
     __getitem__ = sample

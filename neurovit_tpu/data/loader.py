@@ -29,6 +29,36 @@ ARRAY_FIELDS = ("volume", "label", "timepoint", "group", "gender", "age",
                 "age_group", "coordinates", "pain_group")
 
 
+def zyx_base(v) -> Any:
+    """The raw C-contiguous [Z, Y, X] buffer behind a z-major volume view.
+
+    Datasets return volumes whose memory is z-major, exposed as [X, Y, Z]
+    transpose views (adni.py _read_volume). Stacking the raw buffers is pure
+    memcpy; stacking the views would re-transpose every sample on the host
+    (~1.5 ms/volume, the full win of the z-major read). Returns None when
+    ``v`` is not such a view (e.g. synthetic datasets, transformed crops).
+    """
+    if getattr(v, "ndim", 0) == 3 and v.base is not None:
+        t = v.transpose(2, 1, 0)
+        if t.flags.c_contiguous:
+            return t
+    return None
+
+
+def stack_volumes(vals) -> np.ndarray:
+    """np.stack for volumes that keeps z-major batches zero-transpose.
+
+    Result always indexes as [B, X, Y, Z]; when every input is a z-major
+    view the returned array is itself a transpose view of a C-contiguous
+    [B, Z, Y, X] buffer, which the trainer ships to the device raw (the
+    layout transpose happens device-side, fused into the input cast).
+    """
+    bases = [zyx_base(np.asarray(v)) for v in vals]
+    if all(b is not None for b in bases):
+        return np.stack(bases).transpose(0, 3, 2, 1)
+    return np.stack([np.asarray(v) for v in vals])
+
+
 class DataLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
                  num_workers: int = 8, seed: int = 0, drop_last: bool = False,
@@ -83,11 +113,37 @@ class DataLoader:
         batch: Dict[str, Any] = {}
         for key in samples[0]:
             vals = [s[key] for s in samples]
-            if key in ARRAY_FIELDS:
+            if key == "volume":
+                batch[key] = stack_volumes(vals)
+            elif key in ARRAY_FIELDS:
                 batch[key] = np.stack([np.asarray(v) for v in vals])
             else:
                 batch[key] = vals
         batch["valid"] = np.arange(self.batch_size) < n_real
+        return batch
+
+    def _batched_read(self, idxs) -> Any:
+        """Whole-batch fast path: datasets exposing ``read_batch_volumes`` +
+        ``sample_meta`` (e.g. ADNI with the native reader) fill one
+        contiguous volume buffer in C++ worker threads — no per-sample
+        python objects and no np.stack memcpy, which costs as much as the
+        read itself at 90^3 (scripts/native_io_bench.py). Returns None when
+        unavailable; the caller uses the per-sample path (which also covers
+        partial batches, retries, and failed-sample masking)."""
+        read_batch = getattr(self.dataset, "read_batch_volumes", None)
+        meta = getattr(self.dataset, "sample_meta", None)
+        if read_batch is None or meta is None or len(idxs) != self.batch_size:
+            return None
+        vols = read_batch(idxs, n_threads=self.num_workers)
+        if vols is None:
+            return None
+        batch: Dict[str, Any] = {}
+        metas = [meta(int(i)) for i in idxs]
+        for key in metas[0]:
+            vals = [m[key] for m in metas]
+            batch[key] = (np.stack(vals) if key in ARRAY_FIELDS else vals)
+        batch["volume"] = vols
+        batch["valid"] = np.ones(self.batch_size, np.bool_)
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
@@ -103,11 +159,14 @@ class DataLoader:
                         if stop.is_set():
                             return
                         idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                        samples = list(pool.map(self._fetch, idxs))
-                        samples = [s for s in samples if s is not None]
-                        if not samples:
-                            continue
-                        out_q.put(self._collate(samples))
+                        batch = self._batched_read(idxs)
+                        if batch is None:
+                            samples = list(pool.map(self._fetch, idxs))
+                            samples = [s for s in samples if s is not None]
+                            if not samples:
+                                continue
+                            batch = self._collate(samples)
+                        out_q.put(batch)
                 out_q.put(None)
             except BaseException as e:  # surface worker errors to the consumer
                 out_q.put(e)

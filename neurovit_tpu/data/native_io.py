@@ -55,36 +55,47 @@ def usable_for(path: str) -> bool:
 def read_timepoint(path: str, timepoint: int,
                    crop: Tuple[Tuple[int, int], ...],
                    shape_out: Tuple[int, int, int],
-                   zscore: bool = True) -> Optional[np.ndarray]:
-    """Cropped, optionally z-scored single-timepoint read.
+                   zscore: int = 1) -> Optional[np.ndarray]:
+    """Cropped, optionally normalized single-timepoint read.
+
+    zscore: 0 = raw, 1 = (v-mean)/(std+1e-8) (ADNI), 2 = Pain's std>0 guard.
 
     crop = ((x0, x1), (y0, y1), (z0, z1)); non-positive upper bounds count
     from the end (numpy negative-slice semantics).
     Returns None on failure (caller falls back to Python).
+
+    The C kernel writes z-major ([Z, Y, X] C-order) so the gather is pure
+    contiguous row copies; the result here is the zero-copy [X, Y, Z]
+    transpose view — same values and indexing as the numpy path, F-ordered
+    memory.
     """
     lib = _load()
     if lib is None:
         return None
-    out = np.empty(shape_out, np.float32)
+    out = np.empty(shape_out[::-1], np.float32)
     rc = lib.nvt_read_timepoint(
         path.encode(), timepoint,
         crop[0][0], crop[0][1], crop[1][0], crop[1][1],
         crop[2][0], crop[2][1], int(zscore),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
-    return out if rc == 0 else None
+    return out.transpose(2, 1, 0) if rc == 0 else None
 
 
 def read_batch(paths: Sequence[str], timepoints: Sequence[int],
                crop: Tuple[Tuple[int, int], ...],
                shape_out: Tuple[int, int, int],
-               zscore: bool = True,
+               zscore: int = 1,
                n_threads: int = 8) -> Optional[np.ndarray]:
-    """Threaded batch read -> [N, *shape_out] float32; None on any failure."""
+    """Threaded batch read -> [N, *shape_out] float32; None on any failure.
+
+    Per-sample memory is z-major (see read_timepoint); the returned array is
+    the zero-copy [N, X, Y, Z] transpose view.
+    """
     lib = _load()
     if lib is None:
         return None
     n = len(paths)
-    out = np.empty((n,) + tuple(shape_out), np.float32)
+    out = np.empty((n,) + tuple(shape_out)[::-1], np.float32)
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     c_tp = (ctypes.c_int64 * n)(*[int(t) for t in timepoints])
     failures = lib.nvt_read_batch(
@@ -93,7 +104,7 @@ def read_batch(paths: Sequence[str], timepoints: Sequence[int],
         crop[2][0], crop[2][1], int(zscore),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         int(np.prod(shape_out)), n_threads)
-    return out if failures == 0 else None
+    return out.transpose(0, 3, 2, 1) if failures == 0 else None
 
 
 def clear_cache() -> None:

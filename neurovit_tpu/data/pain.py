@@ -113,26 +113,71 @@ class PainDataset:
     def __len__(self) -> int:
         return len(self.data)
 
+    def sample_meta(self, idx: int) -> Dict[str, Any]:
+        """Everything ``sample`` returns except the volume — no file read."""
+        (subject, timepoint, _fmri_path, gender, age, age_group,
+         pain_group) = self.data[idx]
+        return {
+            "label": int(pain_group),
+            "subject": subject,
+            "timepoint": int(timepoint),
+            "gender": 0 if gender == "F" else 1,
+            "age": int(age),
+            "age_group": int(age_group) - 1,   # 1,2 -> 0,1
+            "pain_group": int(pain_group),
+        }
+
+    def read_batch_volumes(self, idxs, n_threads: int = 8):
+        """Native whole-batch read (see ADNIDataset.read_batch_volumes),
+        with Pain's normalization (zscore mode 2: std>0 guard,
+        DatasetPain.py:192). None -> per-sample fallback."""
+        from neurovit_tpu.data import native_io
+        if not self.config.get("DATA_NATIVE_IO", True):
+            return None
+        rows = [self.data[int(i)] for i in idxs]
+        paths = [r[2] for r in rows]
+        tps = [int(r[1]) for r in rows]
+        if not all(native_io.usable_for(p) for p in paths):
+            return None
+        try:
+            shapes = {p: nifti.peek_shape(p)[:3] for p in set(paths)}
+        except Exception:
+            return None
+        if len(set(shapes.values())) != 1:
+            return None
+        sx, sy, sz = shapes[paths[0]]
+        return native_io.read_batch(paths, tps, ((1, 0), (10, -9), (1, 0)),
+                                    (sx - 1, sy - 19, sz - 1), zscore=2,
+                                    n_threads=n_threads)
+
     def sample(self, idx: int) -> Optional[Dict[str, Any]]:
         (subject, timepoint, fmri_path, gender, age, age_group,
          pain_group) = self.data[idx]
         try:
-            img = nifti.load(fmri_path)
             # Timepoint select then crop [1:, 10:-9, 1:] (DatasetPain.py:
             # 188-192) — one lazy memmap read instead of the full series.
-            vol = np.asarray(img.dataobj[1:, 10:-9, 1:, timepoint],
-                             dtype=np.float32)
-            std = vol.std()
-            vol = (vol - vol.mean()) / (std if std > 0 else 1.0)
+            # z-major memory exposed as the [X, Y, Z] transpose view (see
+            # ADNIDataset._read_volume); Pain keeps its own normalization
+            # semantics (std>0 guard instead of +eps, DatasetPain.py:192).
+            from neurovit_tpu.data import native_io
+            vol = None
+            if (self.config.get("DATA_NATIVE_IO", True)
+                    and native_io.usable_for(fmri_path)):
+                shape = nifti.peek_shape(fmri_path)
+                out_shape = (shape[0] - 1, shape[1] - 19, shape[2] - 1)
+                vol = native_io.read_timepoint(
+                    fmri_path, timepoint, ((1, 0), (10, -9), (1, 0)),
+                    out_shape, zscore=2)
+            if vol is None:
+                img = nifti.load(fmri_path)
+                raw = np.asarray(img.dataobj[1:, 10:-9, 1:, timepoint]
+                                 .transpose(2, 1, 0), dtype=np.float32)
+                std = raw.std()
+                vol = ((raw - raw.mean()) / (std if std > 0 else 1.0)
+                       ).transpose(2, 1, 0)
             return {
                 "volume": vol,
-                "label": int(pain_group),
-                "subject": subject,
-                "timepoint": int(timepoint),
-                "gender": 0 if gender == "F" else 1,
-                "age": int(age),
-                "age_group": int(age_group) - 1,   # 1,2 -> 0,1
-                "pain_group": int(pain_group),
+                **self.sample_meta(idx),
             }
         except Exception as e:
             print(f"Error loading fMRI for subject {subject}: {e}")

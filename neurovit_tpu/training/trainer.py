@@ -115,8 +115,10 @@ class Trainer:
             "epoch": self._replicate(jnp.zeros((), jnp.int32)),
         }
 
-        self._train_step_jit = jax.jit(self._train_step_fn, donate_argnums=(0,))
-        self._eval_step_jit = jax.jit(self._eval_step_fn)
+        self._train_step_jit = jax.jit(self._train_step_fn,
+                                       donate_argnums=(0,),
+                                       static_argnums=(2,))
+        self._eval_step_jit = jax.jit(self._eval_step_fn, static_argnums=(3,))
 
         self.log_interval = max(1, len(self.dataloader) // 10)  # Trainer.py:34
         total, trainable = model.param_count(params)
@@ -133,24 +135,34 @@ class Trainer:
     # jitted steps
     # ------------------------------------------------------------------
 
-    def _train_step(self, ts, batch):
+    def _train_step(self, ts, batch, zyx: bool = False):
         # The mesh is scoped (context manager), not process-global: several
         # Trainers with different meshes can coexist in one process. Bare
         # PartitionSpec sharding constraints inside the model (4D B*T stream
         # sharding) resolve against this ambient mesh at trace time.
         with jax.set_mesh(self.mesh):
-            return self._train_step_jit(ts, batch)
+            return self._train_step_jit(ts, batch, zyx)
 
-    def _eval_step(self, params, model_state, batch):
+    def _eval_step(self, params, model_state, batch, zyx: bool = False):
         with jax.set_mesh(self.mesh):
-            return self._eval_step_jit(params, model_state, batch)
+            return self._eval_step_jit(params, model_state, batch, zyx)
 
-    def _train_step_fn(self, ts, batch):
+    @staticmethod
+    def _model_volume(batch, zyx: bool):
+        """[B, X, Y, Z] model input. zyx batches arrive as the raw z-major
+        [B, Z, Y, X] buffer (zero host-side transpose — see loader.py
+        stack_volumes); the layout transpose happens here, on device, where
+        XLA fuses it into the input cast/patch-embed."""
+        vol = batch["volume"]
+        return vol.transpose(0, 3, 2, 1) if zyx else vol
+
+    def _train_step_fn(self, ts, batch, zyx: bool = False):
         rng, step_rng = jax.random.split(ts["rng"])
+        volume = self._model_volume(batch, zyx)
 
         def loss_fn(params):
             logits, aux = self.model.apply(
-                params, batch["volume"], state=ts["model_state"],
+                params, volume, state=ts["model_state"],
                 deterministic=False, rng=step_rng, train=True)
             loss, correct, count = _masked_mean_ce(
                 logits, batch["label"], batch["valid"])
@@ -170,9 +182,10 @@ class Trainer:
         }
         return new_ts, {"loss": loss, "correct": correct, "count": count}
 
-    def _eval_step_fn(self, params, model_state, batch):
+    def _eval_step_fn(self, params, model_state, batch, zyx: bool = False):
         logits, _ = self.model.apply(
-            params, batch["volume"], state=model_state, deterministic=True)
+            params, self._model_volume(batch, zyx), state=model_state,
+            deterministic=True)
         loss, correct, count = _masked_mean_ce(
             logits, batch["label"], batch["valid"])
         preds = jnp.argmax(logits, axis=-1)
@@ -208,8 +221,9 @@ class Trainer:
         pending = None
         for batch in it:
             ready = pending
-            pending = shard_batch(self._device_batch(batch), self.mesh,
-                                  replicate=self.model.is_4d)
+            host, zyx = self._device_batch(batch)
+            pending = (shard_batch(host, self.mesh,
+                                   replicate=self.model.is_4d), zyx)
             if ready is not None:
                 yield ready
         if pending is not None:
@@ -223,11 +237,13 @@ class Trainer:
         # (TRAINING_PROFILE_STEPS > 0 -> trace into GLOBAL_OUTPUT_DIR/profile).
         profile_steps = (self.config.get("TRAINING_PROFILE_STEPS", 0)
                          if epoch == 0 else 0)
-        for i, batch in enumerate(self._device_prefetch(self.dataloader)):
+        for i, (batch, zyx) in enumerate(
+                self._device_prefetch(self.dataloader)):
             if profile_steps and i == 2:
                 jax.profiler.start_trace(
                     os.path.join(self.output_dir, "profile"))
-            self.train_state, metrics = self._train_step(self.train_state, batch)
+            self.train_state, metrics = self._train_step(self.train_state,
+                                                         batch, zyx)
             if profile_steps and i == 2 + profile_steps:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
@@ -257,10 +273,10 @@ class Trainer:
         losses, correct, total = [], 0.0, 0.0
         i = -1
         for i, batch in enumerate(self.val_dataloader):
-            batch = shard_batch(self._device_batch(batch), self.mesh,
-                                replicate=self.model.is_4d)
+            host, zyx = self._device_batch(batch)
+            batch = shard_batch(host, self.mesh, replicate=self.model.is_4d)
             m = self._eval_step(self.train_state["params"],
-                                self.train_state["model_state"], batch)
+                                self.train_state["model_state"], batch, zyx)
             losses.append(m["loss"])
             correct += float(m["correct"])
             total += float(m["count"])
@@ -299,11 +315,12 @@ class Trainer:
         n_correct, n_total = 0, 0
         wrong_predictions = []
         for batch in self.val_dataloader:
-            host_batch = self._device_batch(batch)  # padded to mesh multiple
+            host_batch, zyx = self._device_batch(batch)  # padded to mesh mult
             device_batch = shard_batch(host_batch, self.mesh,
                                        replicate=self.model.is_4d)
             m = self._eval_step(self.train_state["params"],
-                                self.train_state["model_state"], device_batch)
+                                self.train_state["model_state"], device_batch,
+                                zyx)
             preds = np.asarray(m["preds"])
             labels = host_batch["label"]
             valid = host_batch["valid"]             # padding rows are False
@@ -323,27 +340,41 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def _device_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+    def _device_batch(self, batch: Dict[str, Any]):
         """Select the array fields the jitted steps consume, padded (with
-        valid=False rows) so the batch dim divides the data-axis size."""
+        valid=False rows) so the batch dim divides the data-axis size.
+
+        Returns ``(out, zyx)``. zyx batches (z-major volume memory, see
+        loader.stack_volumes) are shipped as their raw C-contiguous
+        [B, Z, Y, X] buffer — ``np.asarray`` on the [B, X, Y, Z] view would
+        re-transpose every volume on the host, forfeiting the z-major read
+        win; the jitted steps transpose on device instead."""
         from neurovit_tpu.parallel.mesh import DATA_AXIS
+        vol = batch["volume"]
+        zyx = (not self.model.is_4d and getattr(vol, "ndim", 0) == 4
+               and vol.dtype == np.float32 and vol.base is not None
+               and vol.transpose(0, 3, 2, 1).flags.c_contiguous
+               and not vol.flags.c_contiguous)
         out = {
-            "volume": np.asarray(batch["volume"], np.float32),
+            "volume": (vol.transpose(0, 3, 2, 1) if zyx
+                       else np.asarray(vol, np.float32)),
             "label": np.asarray(batch["label"], np.int32),
             "valid": np.asarray(batch["valid"], np.bool_),
         }
         if self.model.is_4d:
             # 4D batches stay whole on the host; the model shards the folded
             # B*T volume stream over the mesh instead (B is tiny).
-            return out
+            return out, zyx
         d = self.mesh.shape[DATA_AXIS]
         b = out["volume"].shape[0]
         pad = (-b) % d
         if pad:
+            # Concatenate preserves the C-contiguous layout either way, so a
+            # zyx batch stays zyx after padding.
             out["volume"] = np.concatenate(
                 [out["volume"], np.repeat(out["volume"][-1:], pad, axis=0)])
             out["label"] = np.concatenate(
                 [out["label"], np.zeros(pad, np.int32)])
             out["valid"] = np.concatenate(
                 [out["valid"], np.zeros(pad, np.bool_)])
-        return out
+        return out, zyx

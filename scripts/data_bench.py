@@ -39,20 +39,22 @@ def build_corpus(root):
     return pkl
 
 
-def run(dataset, label):
+def run(dataset, label, reps=3):
     loader = DataLoader(dataset, BATCH, shuffle=True, num_workers=WORKERS,
                         seed=0)
     # warmup (page cache)
     for _ in loader:
         pass
-    t0 = time.perf_counter()
-    n = 0
-    for batch in loader:
-        n += int(batch["valid"].sum())
-    dt = time.perf_counter() - t0
-    print(f"{label:22s}: {n/dt:8.1f} samples/sec "
-          f"({dt*1e3/max(n,1)*BATCH:.1f} ms/batch of {BATCH})")
-    return n / dt
+    best = 0.0
+    for _ in range(reps):  # best-of-N: this 1-core VM is noisy
+        t0 = time.perf_counter()
+        n = 0
+        for batch in loader:
+            n += int(batch["valid"].sum())
+        best = max(best, n / (time.perf_counter() - t0))
+    print(f"{label:22s}: {best:8.1f} samples/sec "
+          f"({1e3/best*BATCH:.1f} ms/batch of {BATCH})")
+    return best
 
 
 def main():
@@ -62,7 +64,8 @@ def main():
         config = {"ADNI_CSV_PATH": "", "ADNI_TRAIN_PATH": pkl,
                   "ADNI_VAL_PATH": pkl, "DATASET_SPLIT_RATIO": 0.85,
                   "DATASET_TASK": "age", "DATASET_TRANSFORMS": False,
-                  "TRAINING_VIT_INPUT_SIZE": 90, "TRAINING_SEED": 0}
+                  "TRAINING_VIT_INPUT_SIZE": 90, "TRAINING_SEED": 0,
+                  "DATA_NATIVE_IO": True}
         ds = ADNIDataset(config, mode="train")
         assert native_io.available(), "build csrc first (cd csrc && make)"
         native = run(ds, "native C++ reader")

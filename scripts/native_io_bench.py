@@ -37,8 +37,8 @@ def build_corpus(root):
 
 
 def numpy_read(path, t):
-    vol, _ = nifti.load(path)
-    box = np.asarray(vol[1:, 10:-9, 1:, t], np.float32)
+    img = nifti.load(path)
+    box = np.asarray(img.dataobj[1:, 10:-9, 1:, t], dtype=np.float32)
     mean, std = box.mean(), box.std()
     return (box - mean) / (std + 1e-8)
 

@@ -18,7 +18,7 @@ def test_orbax_full_state_roundtrip(tiny_config, tmp_path):
     trainer = Trainer(config, model, ds_train, ds_val)
 
     # One step so opt_state is non-trivial.
-    batch = trainer._device_batch(next(iter(trainer.dataloader)))
+    batch = trainer._device_batch(next(iter(trainer.dataloader)))[0]
     trainer.train_state, _ = trainer._train_step(trainer.train_state, batch)
     trainer.train_state["epoch"] = jnp.asarray(3, jnp.int32)
 

@@ -19,7 +19,7 @@ def test_4d_orbax_roundtrip(tiny_config, tmp_path):
     trainer = Trainer(config, model, Synthetic4D(4), Synthetic4D(2, seed=1))
 
     from neurovit_tpu.parallel import shard_batch
-    batch = shard_batch(trainer._device_batch(next(iter(trainer.dataloader))),
+    batch = shard_batch(trainer._device_batch(next(iter(trainer.dataloader)))[0],
                         trainer.mesh, replicate=True)
     trainer.train_state, _ = trainer._train_step(trainer.train_state, batch)
     trainer.train_state["epoch"] = trainer._replicate(jnp.asarray(5, jnp.int32))

@@ -20,7 +20,7 @@ def test_resnet_trainer_updates_bn_state(tiny_config):
 
     bn_before = np.asarray(jax.tree.leaves(
         trainer.train_state["model_state"])[0]).copy()
-    batch = trainer._device_batch(next(iter(trainer.dataloader)))
+    batch = trainer._device_batch(next(iter(trainer.dataloader)))[0]
     from neurovit_tpu.parallel import shard_batch
     device_batch = shard_batch(batch, trainer.mesh)
     trainer.train_state, metrics = trainer._train_step(

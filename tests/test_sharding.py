@@ -44,7 +44,7 @@ def test_data_parallel_train_step(tiny_config):
     ds_train, ds_val = get_datasets(config)
     model = NeuroEncoder(config)
     trainer = Trainer(config, model, ds_train, ds_val)
-    batch = shard_batch(trainer._device_batch(next(iter(trainer.dataloader))),
+    batch = shard_batch(trainer._device_batch(next(iter(trainer.dataloader)))[0],
                         trainer.mesh)
     ts, metrics = trainer._train_step(trainer.train_state, batch)
     assert np.isfinite(float(metrics["loss"]))
@@ -71,7 +71,7 @@ def test_dp_step_matches_single_device(tiny_config):
     t8 = Trainer(config, model, ds_train, ds_val, mesh=mesh8)
     t1 = Trainer(config, model, ds_train, ds_val, mesh=mesh1)
 
-    host = t8._device_batch(next(iter(t8.dataloader)))
+    host = t8._device_batch(next(iter(t8.dataloader)))[0]
     ts8, m8 = t8._train_step(t8.train_state, shard_batch(host, mesh8))
     ts1, m1 = t1._train_step(t1.train_state, shard_batch(host, mesh1))
 
@@ -99,7 +99,7 @@ def test_4d_volume_stream_sharded(tiny_config):
     import test_trainer_4d
     ds = test_trainer_4d.Synthetic4D(4, t=4)   # B*T = 8 divides 8 devices
     trainer = Trainer(config, model, ds, test_trainer_4d.Synthetic4D(2, t=4))
-    batch = shard_batch(trainer._device_batch(next(iter(trainer.dataloader))),
+    batch = shard_batch(trainer._device_batch(next(iter(trainer.dataloader)))[0],
                         trainer.mesh, replicate=True)
     assert batch["volume"].shape[0] == 2          # no B padding in 4D
     trainer.train_state, metrics = trainer._train_step(

@@ -95,7 +95,7 @@ def test_adamw_training_dynamics_match_torch(tiny_config):
 
     jax_losses = []
     for b in batches:
-        device_batch = shard_batch(trainer._device_batch(b), mesh)
+        device_batch = shard_batch(trainer._device_batch(b)[0], mesh)
         trainer.train_state, metrics = trainer._train_step(
             trainer.train_state, device_batch)
         jax_losses.append(float(metrics["loss"]))

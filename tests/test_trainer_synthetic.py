@@ -39,7 +39,7 @@ def test_grad_accumulation_equivalence(tiny_config):
     model = NeuroEncoder(config)
     trainer = Trainer(config, model, ds_train, ds_val)
     batch = next(iter(trainer.dataloader))
-    device_batch = trainer._device_batch(batch)
+    device_batch = trainer._device_batch(batch)[0]
     params_before = jax.tree.leaves(trainer.train_state["params"])[0].copy()
     # First micro-step: must NOT update params (accumulating).
     trainer.train_state, _ = trainer._train_step(trainer.train_state, device_batch)
