@@ -10,11 +10,14 @@ Linear head, Kaiming-normal(fan_out, relu) conv init and BN(1, 0) init
 (resnet_3d.py:146-153). ``generate_model`` depths {10,18,34,50,101,152,200}
 (resnet_3d.py:210-227).
 
-3D convs lower onto the MXU via ``lax.conv_general_dilated`` (XLA tiles 3D
-convs well); BatchNorm running stats live in an explicit ``state`` pytree
-(momentum 0.1, eps 1e-5 — torch defaults), updated functionally in train mode.
+3D convs lower onto the MXU via ``lax.conv_general_dilated``; BatchNorm
+running stats live in an explicit ``state`` pytree (momentum 0.1, eps 1e-5 —
+torch defaults), updated functionally in train mode.
 
-Layout is NCDHW to match the reference's tensor semantics.
+External layout is NCDHW (torch semantics, incl. OIDHW conv params so torch
+state_dicts import/export directly); internal compute is channels-last
+NDHWC — the TPU-native conv layout (NCDHW measured 1.5x slower per conv on
+the chip; BENCH.md "ResNet").
 """
 
 from __future__ import annotations
@@ -96,23 +99,31 @@ def _bn_init(ch, dtype):
 
 
 def conv3d(params, x, *, stride=(1, 1, 1), padding=(0, 0, 0)):
+    # Channels-last compute (NDHWC/DHWIO) — the TPU-native conv layout; the
+    # NCDHW form made XLA transpose activations around every conv (measured
+    # 1.5x slower per conv, BENCH.md "ResNet"). Params stay OIDHW so torch
+    # state_dicts import/export unchanged; the weight transpose here is a
+    # few-KB op XLA fuses away. No preferred_element_type: a widened output
+    # dtype breaks the conv VJP transpose rule (mixed-dtype cotangent vs
+    # bf16 kernel); the TPU conv unit accumulates in f32 internally anyway.
+    kernel = params["kernel"].astype(x.dtype).transpose(2, 3, 4, 1, 0)
     return jax.lax.conv_general_dilated(
-        x, params["kernel"].astype(x.dtype),
+        x, kernel,
         window_strides=stride,
         padding=[(p, p) for p in padding],
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        preferred_element_type=jnp.float32,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         precision=nn.matmul_precision(x.dtype),
-    ).astype(x.dtype)
+    )
 
 
 def batch_norm(params, state, x, *, train: bool):
-    """BatchNorm3d over N,D,H,W per channel; returns (y, new_state)."""
+    """BatchNorm3d over N,D,H,W per channel (channels-last activations);
+    returns (y, new_state)."""
     xf = x.astype(jnp.float32)
     if train:
-        mean = jnp.mean(xf, axis=(0, 2, 3, 4))
-        var = jnp.var(xf, axis=(0, 2, 3, 4))
-        n = x.shape[0] * x.shape[2] * x.shape[3] * x.shape[4]
+        mean = jnp.mean(xf, axis=(0, 1, 2, 3))
+        var = jnp.var(xf, axis=(0, 1, 2, 3))
+        n = x.shape[0] * x.shape[1] * x.shape[2] * x.shape[3]
         # torch tracks the *unbiased* variance in running stats.
         unbiased = var * (n / max(n - 1, 1))
         new_state = {
@@ -122,20 +133,19 @@ def batch_norm(params, state, x, *, train: bool):
     else:
         mean, var = state["mean"], state["var"]
         new_state = state
-    shape = (1, -1, 1, 1, 1)
-    y = (xf - mean.reshape(shape)) * jax.lax.rsqrt(var.reshape(shape) + BN_EPS)
-    y = y * params["scale"].astype(jnp.float32).reshape(shape) \
-        + params["bias"].astype(jnp.float32).reshape(shape)
+    y = (xf - mean) * jax.lax.rsqrt(var + BN_EPS)
+    y = y * params["scale"].astype(jnp.float32) \
+        + params["bias"].astype(jnp.float32)
     return y.astype(x.dtype), new_state
 
 
 def max_pool3d(x, ksize=3, stride=2, padding=1):
-    pads = [(0, 0), (0, 0)] + [(padding, padding)] * 3
+    pads = [(0, 0)] + [(padding, padding)] * 3 + [(0, 0)]
     return jax.lax.reduce_window(
         x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
         jax.lax.max,
-        window_dimensions=(1, 1, ksize, ksize, ksize),
-        window_strides=(1, 1, stride, stride, stride),
+        window_dimensions=(1, ksize, ksize, ksize, 1),
+        window_strides=(1, stride, stride, stride, 1),
         padding=pads)
 
 
@@ -184,12 +194,12 @@ def _shortcut(params, state, x, out_planes, stride, cfg, *, train):
         r = conv3d(params["ds_conv"], x, stride=(stride,) * 3)
         r, new_bn = batch_norm(params["ds_bn"], state["ds_bn"], r, train=train)
         return r, {"ds_bn": new_bn}
-    if stride != 1 or x.shape[1] != out_planes:
+    if stride != 1 or x.shape[-1] != out_planes:
         # Type 'A': avg_pool3d(kernel=1, stride=s) == strided subsample, then
         # zero-pad the channel dim (resnet_3d.py:155-164).
-        r = x[:, :, ::stride, ::stride, ::stride]
-        pad = out_planes - r.shape[1]
-        r = jnp.pad(r, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+        r = x[:, ::stride, ::stride, ::stride, :]
+        pad = out_planes - r.shape[-1]
+        r = jnp.pad(r, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad)))
         return r, {}
     return x, {}
 
@@ -201,7 +211,7 @@ def _apply_basic_block(params, state, x, stride, cfg, *, train):
     out = jax.nn.relu(out)
     out = conv3d(params["conv2"], out, padding=(1, 1, 1))
     out, new_state["bn2"] = batch_norm(params["bn2"], state["bn2"], out, train=train)
-    residual, ds_state = _shortcut(params, state, x, out.shape[1], stride, cfg, train=train)
+    residual, ds_state = _shortcut(params, state, x, out.shape[-1], stride, cfg, train=train)
     new_state.update(ds_state)
     return jax.nn.relu(out + residual), new_state
 
@@ -216,7 +226,7 @@ def _apply_bottleneck(params, state, x, stride, cfg, *, train):
     out = jax.nn.relu(out)
     out = conv3d(params["conv3"], out)
     out, new_state["bn3"] = batch_norm(params["bn3"], state["bn3"], out, train=train)
-    residual, ds_state = _shortcut(params, state, x, out.shape[1], stride, cfg, train=train)
+    residual, ds_state = _shortcut(params, state, x, out.shape[-1], stride, cfg, train=train)
     new_state.update(ds_state)
     return jax.nn.relu(out + residual), new_state
 
@@ -269,7 +279,10 @@ def apply(params: dict, state: dict, x: jax.Array, cfg: ResNetConfig, *,
     differentiate w.r.t. it to get hook-style feature gradients.
     """
     new_state = {}
-    out = conv3d(params["conv1"], x,
+    # External contract stays NCDHW (torch semantics); compute runs
+    # channels-last (NDHWC) — the layout XLA's TPU convs want.
+    out = x.transpose(0, 2, 3, 4, 1)
+    out = conv3d(params["conv1"], out,
                  stride=(cfg.conv1_t_stride, 2, 2),
                  padding=(cfg.conv1_t_size // 2, 3, 3))
     out, new_state["bn1"] = batch_norm(params["bn1"], state["bn1"], out, train=train)
@@ -287,9 +300,10 @@ def apply(params: dict, state: dict, x: jax.Array, cfg: ResNetConfig, *,
             out, nbs = apply_block(bp, bs, out, stride, cfg, train=train)
             new_state[layer].append(nbs)
     if feature_shift is not None:
-        out = out + feature_shift.astype(out.dtype)
-    features = out                                # layer4 activations
-    out = jnp.mean(out, axis=(2, 3, 4))           # AdaptiveAvgPool3d(1)
+        # feature_shift comes in the external [B, C, D', H', W'] layout.
+        out = out + feature_shift.astype(out.dtype).transpose(0, 2, 3, 4, 1)
+    features = out.transpose(0, 4, 1, 2, 3)       # layer4, NCDHW for CAMs
+    out = jnp.mean(out, axis=(1, 2, 3))           # AdaptiveAvgPool3d(1)
     logits = nn.linear(params["fc"], out).astype(jnp.float32)
     if capture_features:
         return logits, new_state, features

@@ -48,10 +48,10 @@ def main():
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, state, opt_state, x, labels):
         def loss_fn(p):
-            logits, new_state = model.apply(p, x, state=state, train=True)
+            logits, aux = model.apply(p, x, state=state, train=True)
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits, labels).mean()
-            return loss, new_state
+            return loss, aux["state"]
 
         (loss, new_state), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)

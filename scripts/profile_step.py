@@ -21,18 +21,22 @@ def run_and_trace():
     from neurovit_tpu.config import load_config
     from neurovit_tpu.models import NeuroEncoder
 
+    encoder = os.environ.get("PROFILE_ENCODER", "vit")  # vit | resnet
+    batch = int(os.environ.get("PROFILE_BATCH", "64"))
     config = load_config(overrides={
         "DATASET_NAME": "gradcam", "TRAINING_VIT_INPUT_SIZE": 90,
         "TRAINING_VIT_PATCH_SIZE": 9, "GRADCAM_CUBE_SIZE": 8,
         "TRAINING_DROPOUT": 0.1, "TRAINING_PRECISION": "bf16",
+        "MODEL_VOLUME_ENCODER": encoder,
         "KERNEL_IMPL": "pallas"})
     model = NeuroEncoder(config)
     variables = model.init(jax.random.key(0))
-    params = variables["params"]
+    params, model_state = variables["params"], variables["state"]
     tx = optax.adamw(1e-4, weight_decay=0.01)
     opt_state = tx.init(params)
-    x = jnp.asarray(np.random.RandomState(0).randn(64, 90, 90, 90), jnp.float32)
-    labels = jnp.asarray(np.random.RandomState(1).randint(0, 2, 64))
+    x = jnp.asarray(np.random.RandomState(0).randn(batch, 90, 90, 90),
+                    jnp.float32)
+    labels = jnp.asarray(np.random.RandomState(1).randint(0, 2, batch))
     rng = jax.random.key(1, impl="rbg")
 
     @jax.jit
@@ -40,7 +44,9 @@ def run_and_trace():
         rng, srng = jax.random.split(rng)
 
         def loss_fn(p):
-            logits, _ = model.apply(p, x, deterministic=False, rng=srng)
+            logits, _ = model.apply(p, x, state=model_state,
+                                    deterministic=False, rng=srng,
+                                    train=encoder == "resnet")
             return optax.softmax_cross_entropy_with_integer_labels(
                 logits, labels).mean()
 

@@ -12,11 +12,14 @@ def test_conv3d_matches_torch():
     rng = np.random.RandomState(0)
     x = rng.randn(2, 3, 8, 9, 10).astype(np.float32)
     w = rng.randn(5, 3, 3, 3, 3).astype(np.float32)
-    ours = resnet3d.conv3d({"kernel": jnp.asarray(w)}, jnp.asarray(x),
+    # Internal compute layout is channels-last (NDHWC); params stay OIDHW.
+    x_cl = jnp.asarray(x.transpose(0, 2, 3, 4, 1))
+    ours = resnet3d.conv3d({"kernel": jnp.asarray(w)}, x_cl,
                            stride=(2, 2, 2), padding=(1, 1, 1))
     theirs = torch.nn.functional.conv3d(
         torch.from_numpy(x), torch.from_numpy(w), stride=2, padding=1).numpy()
-    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 4, 1, 2, 3),
+                               theirs, rtol=1e-4, atol=1e-4)
 
 
 def test_batch_norm_train_and_eval_match_torch():
@@ -32,32 +35,33 @@ def test_batch_norm_train_and_eval_match_torch():
         tbn.bias.copy_(torch.from_numpy(np.asarray(params["bias"])))
 
     # Train mode: normalized by batch stats; running stats updated.
-    ours, new_state = resnet3d.batch_norm(params, state, jnp.asarray(x),
-                                          train=True)
+    x_cl = jnp.asarray(x.transpose(0, 2, 3, 4, 1))   # channels-last compute
+    ours, new_state = resnet3d.batch_norm(params, state, x_cl, train=True)
     tbn.train()
     theirs = tbn(torch.from_numpy(x)).detach().numpy()
-    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 4, 1, 2, 3),
+                               theirs, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(new_state["mean"]),
                                tbn.running_mean.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(new_state["var"]),
                                tbn.running_var.numpy(), rtol=1e-4, atol=1e-5)
 
     # Eval mode: normalized by running stats.
-    ours_eval, _ = resnet3d.batch_norm(params, new_state, jnp.asarray(x),
-                                       train=False)
+    ours_eval, _ = resnet3d.batch_norm(params, new_state, x_cl, train=False)
     tbn.eval()
     theirs_eval = tbn(torch.from_numpy(x)).detach().numpy()
-    np.testing.assert_allclose(np.asarray(ours_eval), theirs_eval,
-                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours_eval).transpose(0, 4, 1, 2, 3),
+                               theirs_eval, rtol=1e-3, atol=1e-4)
 
 
 def test_max_pool3d_matches_torch():
     rng = np.random.RandomState(2)
     x = rng.randn(2, 3, 9, 9, 9).astype(np.float32)
-    ours = resnet3d.max_pool3d(jnp.asarray(x))
+    ours = resnet3d.max_pool3d(jnp.asarray(x.transpose(0, 2, 3, 4, 1)))
     theirs = torch.nn.functional.max_pool3d(
         torch.from_numpy(x), kernel_size=3, stride=2, padding=1).numpy()
-    np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 4, 1, 2, 3),
+                               theirs, atol=1e-6)
 
 
 def test_resnet18_forward_shapes():
