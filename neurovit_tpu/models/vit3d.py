@@ -277,6 +277,38 @@ def _attention(block: dict, x: jax.Array, cfg: ViTConfig, *,
     return out, ln_act
 
 
+def _attention_residual(block: dict, x: jax.Array, cfg: ViTConfig, *,
+                        deterministic: bool, rng: Optional[jax.Array],
+                        n_valid: Optional[int] = None) -> jax.Array:
+    """x + MHSA(LN(x)) via the fully fused attention path: LN+QKV kernel
+    (ops/fused_qkv.py, bnhd output) -> flash attention in bnhd layout ->
+    out-projection + dropout + residual kernel (ops/fused_outproj.py).
+    No standalone LayerNorm, no head transpose, no separate dropout or
+    residual pass touches HBM. Falls back to the XLA composition when the
+    kernels don't apply (non-pallas impl, identity out-proj, CPU dropout)."""
+    if cfg.impl == "pallas" and cfg.project_out:
+        from neurovit_tpu.ops import fused_outproj, fused_qkv
+        from neurovit_tpu.ops.flash_attention import flash_attention
+        if fused_outproj.supports(cfg.dropout, deterministic):
+            b, n, _ = x.shape
+            drop_rngs = (jax.random.split(rng, 2) if rng is not None
+                         else (None, None))
+            q, k, v = fused_qkv.fused_ln_qkv(block, x, cfg.heads,
+                                             cfg.dim_head)
+            rate = 0.0 if deterministic else cfg.dropout
+            out = flash_attention(q, k, v, scale=cfg.dim_head ** -0.5,
+                                  dropout_rate=rate,
+                                  dropout_rng=drop_rngs[0],
+                                  n_valid=n_valid, layout="bnhd")
+            attn2d = out.reshape(b, n, cfg.inner_dim)
+            return fused_outproj.fused_outproj_residual(
+                block["attn_out"], x, attn2d, dropout_rate=cfg.dropout,
+                rng=drop_rngs[1], deterministic=deterministic)
+    attn_out, _ = _attention(block, x, cfg, deterministic=deterministic,
+                             rng=rng, n_valid=n_valid)
+    return attn_out + x
+
+
 def _mlp(block: dict, x: jax.Array, cfg: ViTConfig, *,
          deterministic: bool, rng: Optional[jax.Array]) -> jax.Array:
     """LN -> Linear -> GELU -> Drop -> Linear -> Drop (vit_3d.py:14-26)."""
@@ -305,12 +337,20 @@ def _mlp_residual(block: dict, x: jax.Array, cfg: ViTConfig, *,
 def _block_apply(block: dict, x: jax.Array, cfg: ViTConfig, *,
                  deterministic: bool, rng: Optional[jax.Array],
                  probe_shift: Optional[jax.Array] = None,
-                 n_valid: Optional[int] = None):
+                 n_valid: Optional[int] = None,
+                 need_probe: bool = False):
     rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
-    attn_out, ln_act = _attention(block, x, cfg, deterministic=deterministic,
-                                  rng=rngs[0], probe_shift=probe_shift,
-                                  n_valid=n_valid)
-    x = attn_out + x
+    if need_probe or probe_shift is not None:
+        # Grad-CAM path: the attention LN activation must be observable
+        # (reference hook target, NeuroEncoder.py:70-82) — XLA composition.
+        attn_out, ln_act = _attention(
+            block, x, cfg, deterministic=deterministic, rng=rngs[0],
+            probe_shift=probe_shift, n_valid=n_valid)
+        x = attn_out + x
+    else:
+        x = _attention_residual(block, x, cfg, deterministic=deterministic,
+                                rng=rngs[0], n_valid=n_valid)
+        ln_act = None
     x = _mlp_residual(block, x, cfg, deterministic=deterministic, rng=rngs[1])
     return x, ln_act
 
@@ -385,7 +425,7 @@ def apply(params: dict, volume: jax.Array, cfg: ViTConfig, *,
     x, probe_act = _block_apply(
         last_block, x, cfg, deterministic=deterministic,
         rng=rngs[cfg.depth] if rngs is not None else None,
-        probe_shift=probe_shift, n_valid=attn_n_valid)
+        probe_shift=probe_shift, n_valid=attn_n_valid, need_probe=True)
 
     if pad_stream:
         x = x[:, :n_valid]

@@ -90,8 +90,11 @@ def _dropout_mask(shape, keep: float):
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
                 scale: float, n_valid: int, dropout_rate: float):
-    n_pad = q_ref.shape[1]
-    d = q_ref.shape[2]
+    # Refs are squeezed [n_pad, d] blocks — the (batch, head) dims are
+    # selected by the BlockSpec index map, which is what lets the same
+    # kernel serve both the bhnd and bnhd storage layouts.
+    n_pad = q_ref.shape[0]
+    d = q_ref.shape[1]
     # With dropout the backward regenerates the per-(program, q-block) mask,
     # so fwd/bwd MUST tile Q identically; deterministic forwards (eval,
     # serving) use the larger whole-sequence block.
@@ -102,8 +105,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
     # Keep operands in their storage dtype (bf16): the MXU accumulates in
     # f32 via preferred_element_type, and bf16 passes are ~8x faster than
     # upcast-f32 matmuls.
-    k = k_ref[0]
-    v = v_ref[0]
+    k = k_ref[...]
+    v = v_ref[...]
 
     # Static key-padding mask (shapes are static under jit), applied as a
     # multiply AFTER exp2 so it fuses into the same elementwise pass — no
@@ -114,7 +117,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
         pad_maskf = (kv_ids < n_valid).astype(jnp.float32)
 
     def body(qb, _):
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
+        q = q_ref[pl.ds(qb * block_q, block_q), :]
         # exp2-softmax with deferred normalization: the row divide happens on
         # the [block_q, D] output instead of the [block_q, N] probabilities,
         # and the SCORE_CAP clip replaces the row-max subtraction.
@@ -126,13 +129,14 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
             p = p * pad_maskf
         denom = jnp.sum(p, axis=1, keepdims=True)
         if dropout_rate > 0.0:
-            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * n_blocks + qb)
+            pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+            pltpu.prng_seed(seed_ref[0, 0] + pid * n_blocks + qb)
             # 1/keep is folded into the row denominator (D-wide, not N-wide).
             p = p * _dropout_mask((block_q, n_pad), keep)
             denom = denom * keep
         o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         o = o / denom
-        o_ref[0, pl.ds(qb * block_q, block_q), :] = o.astype(o_ref.dtype)
+        o_ref[pl.ds(qb * block_q, block_q), :] = o.astype(o_ref.dtype)
         return ()
 
     # Static unroll: n_blocks is tiny (1-2) and unrolling lets Mosaic overlap
@@ -148,13 +152,13 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
                 scale: float, n_valid: int, dropout_rate: float):
-    n_pad = q_ref.shape[1]
+    n_pad = q_ref.shape[0]
     block_q = _block_q(n_pad, is_bwd=True)
     n_blocks = n_pad // block_q
     keep = _quantized_keep(1.0 - dropout_rate)
 
-    k = k_ref[0]
-    v = v_ref[0]
+    k = k_ref[...]
+    v = v_ref[...]
     dk_acc[...] = jnp.zeros_like(dk_acc)
     dv_acc[...] = jnp.zeros_like(dv_acc)
 
@@ -162,8 +166,8 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
     pad_maskf = (kv_ids < n_valid).astype(jnp.float32)
 
     def body(qb, _):
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :]
-        do = do_ref[0, pl.ds(qb * block_q, block_q), :]
+        q = q_ref[pl.ds(qb * block_q, block_q), :]
+        do = do_ref[pl.ds(qb * block_q, block_q), :]
 
         # Rematerialize P exactly as the forward did (bf16 in, f32 accum,
         # exp2 + SCORE_CAP clip, post-exp2 pad mask).
@@ -174,7 +178,8 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
         p = p / jnp.sum(p, axis=1, keepdims=True)
 
         if dropout_rate > 0.0:
-            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0) * n_blocks + qb)
+            pid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+            pltpu.prng_seed(seed_ref[0, 0] + pid * n_blocks + qb)
             mask = _dropout_mask((block_q, n_pad), keep)
             # 1/keep is folded into the scalar epilogues below (dv_ref
             # scaling and ds's scale constant) instead of N-wide multiplies.
@@ -199,7 +204,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
         ds = (p * (dp_m - delta) * (scale / keep)).astype(q.dtype)
         # dQ block = dS K
         dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
-        dq_ref[0, pl.ds(qb * block_q, block_q), :] = dq.astype(dq_ref.dtype)
+        dq_ref[pl.ds(qb * block_q, block_q), :] = dq.astype(dq_ref.dtype)
         # dK += dS^T Q
         dk_acc[...] += jax.lax.dot_general(
             ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -208,22 +213,144 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
 
     for qb in range(n_blocks):
         body(qb, ())
-    dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
-    dv_ref[0] = (dv_acc[...] * (1.0 / keep)).astype(dv_ref.dtype)
+    dk_ref[...] = dk_acc[...].astype(dk_ref.dtype)
+    dv_ref[...] = (dv_acc[...] * (1.0 / keep)).astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# All-heads kernels (bnhd layout)
+# ---------------------------------------------------------------------------
+# [B, N, H, D] blocks cannot be sliced per-head by the BlockSpec (the last
+# two block dims must tile the array), so the bnhd path runs one program per
+# batch element: the full [n_pad, H, D] slab DMAs contiguously into VMEM
+# (~1 MB per operand at the ViT shapes) and a static head loop reuses the
+# exact per-head math of the bhnd kernels via in-VMEM slices.
+
+def _fwd_kernel_allheads(seed_ref, q_ref, k_ref, v_ref, o_ref, *,
+                         scale: float, n_valid: int, dropout_rate: float,
+                         n_heads: int):
+    n_pad, hd = q_ref.shape
+    d = hd // n_heads
+    block_q = _block_q(n_pad, is_bwd=dropout_rate > 0.0)
+    n_blocks = n_pad // block_q
+    keep = _quantized_keep(1.0 - dropout_rate)
+
+    if n_valid < n_pad:
+        kv_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, n_pad), 1)
+        pad_maskf = (kv_ids < n_valid).astype(jnp.float32)
+
+    for h in range(n_heads):
+        k = k_ref[:, pl.ds(h * d, d)]
+        v = v_ref[:, pl.ds(h * d, d)]
+        for qb in range(n_blocks):
+            q = q_ref[pl.ds(qb * block_q, block_q), pl.ds(h * d, d)]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (scale * LOG2E)
+            p = jnp.exp2(jnp.clip(s, -SCORE_CAP, SCORE_CAP))
+            if n_valid < n_pad:
+                p = p * pad_maskf
+            denom = jnp.sum(p, axis=1, keepdims=True)
+            if dropout_rate > 0.0:
+                pid = pl.program_id(0) * n_heads + h
+                pltpu.prng_seed(seed_ref[0, 0] + pid * n_blocks + qb)
+                p = p * _dropout_mask((block_q, n_pad), keep)
+                denom = denom * keep
+            o = jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+            o_ref[pl.ds(qb * block_q, block_q), pl.ds(h * d, d)] = (
+                (o / denom).astype(o_ref.dtype))
+
+
+def _bwd_kernel_allheads(seed_ref, q_ref, k_ref, v_ref, do_ref,
+                         dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                         scale: float, n_valid: int, dropout_rate: float,
+                         n_heads: int):
+    n_pad, hd = q_ref.shape
+    d = hd // n_heads
+    block_q = _block_q(n_pad, is_bwd=True)
+    n_blocks = n_pad // block_q
+    keep = _quantized_keep(1.0 - dropout_rate)
+
+    kv_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, n_pad), 1)
+    pad_maskf = (kv_ids < n_valid).astype(jnp.float32)
+
+    for h in range(n_heads):
+        k = k_ref[:, pl.ds(h * d, d)]
+        v = v_ref[:, pl.ds(h * d, d)]
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+        for qb in range(n_blocks):
+            q = q_ref[pl.ds(qb * block_q, block_q), pl.ds(h * d, d)]
+            do = do_ref[pl.ds(qb * block_q, block_q), pl.ds(h * d, d)]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (scale * LOG2E)
+            p = jnp.exp2(jnp.clip(s, -SCORE_CAP, SCORE_CAP)) * pad_maskf
+            p = p / jnp.sum(p, axis=1, keepdims=True)
+            if dropout_rate > 0.0:
+                pid = pl.program_id(0) * n_heads + h
+                pltpu.prng_seed(seed_ref[0, 0] + pid * n_blocks + qb)
+                mask = _dropout_mask((block_q, n_pad), keep)
+                p_m = p * mask
+            else:
+                p_m = p
+            dv_acc[...] += jax.lax.dot_general(
+                p_m.astype(do.dtype), do,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp_m = dp * mask if dropout_rate > 0.0 else dp
+            delta = jnp.sum(p * dp_m, axis=1, keepdims=True)
+            ds = (p * (dp_m - delta) * (scale / keep)).astype(q.dtype)
+            dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+            dq_ref[pl.ds(qb * block_q, block_q), pl.ds(h * d, d)] = (
+                dq.astype(dq_ref.dtype))
+            dk_acc[...] += jax.lax.dot_general(
+                ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dk_ref[:, pl.ds(h * d, d)] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[:, pl.ds(h * d, d)] = (dv_acc[...] * (1.0 / keep)
+                                      ).astype(dv_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
-def _bh_specs(n_pad: int, d: int, count: int):
-    """Per-(batch*head) full-sequence VMEM blocks."""
-    return [pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM) for _ in range(count)]
+def _bh_specs(layout: str, h: int, n_pad: int, d: int, count: int):
+    """Per-(batch, head) full-sequence VMEM blocks, squeezed to [n_pad, d].
+
+    layout "bhnd": arrays are [B, H, N, D] (grid index i -> (i//h, i%h));
+    layout "bnhd": arrays are [B, N, H, D] — the storage the fused LN+QKV
+    kernel emits and the out-projection consumes, so no head transpose ever
+    materializes. The DMA per (b, h) program is then N rows of D contiguous
+    elements (stride H*D); attention is compute-bound at these shapes, so
+    the strided DMA is free in practice (measured end-to-end, BENCH.md).
+    """
+    if layout == "bhnd":
+        spec = pl.BlockSpec((None, None, n_pad, d),
+                            lambda bi, hi: (bi, hi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    else:
+        # bnhd arrays arrive flattened to [B, N, H*D] (free reshape): the
+        # kernel slices heads on the lane dim, which keeps every block
+        # legal (last two block dims == array dims).
+        spec = pl.BlockSpec((None, n_pad, h * d),
+                            lambda bi: (bi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return [spec for _ in range(count)]
 
 
-def _seed_spec():
-    return pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+def _seed_spec(ndim: int = 1):
+    zeros = (0, 0)
+    if ndim == 1:
+        return pl.BlockSpec((1, 1), lambda i, z=zeros: z,
+                            memory_space=pltpu.SMEM)
+    return pl.BlockSpec((1, 1), lambda bi, hi, z=zeros: z,
+                        memory_space=pltpu.SMEM)
 
 
 def _interpret() -> bool:
@@ -231,81 +358,121 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _fwd(q, k, v, seed, *, scale, n_valid, dropout_rate):
-    bh, n_pad, d = q.shape
-    kernel = functools.partial(_fwd_kernel, scale=scale, n_valid=n_valid,
+def _fwd(q, k, v, seed, *, scale, n_valid, dropout_rate, layout):
+    b, h, n_pad, d = _dims(q, layout)
+    if layout == "bnhd":
+        shape4 = q.shape
+        q, k, v = (x.reshape(b, n_pad, h * d) for x in (q, k, v))
+    body = _fwd_kernel if layout == "bhnd" else functools.partial(
+        _fwd_kernel_allheads, n_heads=h)
+    kernel = functools.partial(body, scale=scale, n_valid=n_valid,
                                dropout_rate=dropout_rate)
-    return pl.pallas_call(
+    grid = (b, h) if layout == "bhnd" else (b,)
+    out = pl.pallas_call(
         kernel,
-        grid=(bh,),
+        grid=grid,
         interpret=_interpret(),
-        in_specs=[_seed_spec()] + _bh_specs(n_pad, d, 3),
-        out_specs=_bh_specs(n_pad, d, 1)[0],
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        in_specs=[_seed_spec(len(grid))] + _bh_specs(layout, h, n_pad, d, 3),
+        out_specs=_bh_specs(layout, h, n_pad, d, 1)[0],
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * n_pad * n_pad * d,
-            bytes_accessed=4 * bh * n_pad * d * q.dtype.itemsize,
-            transcendentals=bh * n_pad * n_pad),
+            flops=4 * b * h * n_pad * n_pad * d,
+            bytes_accessed=4 * b * h * n_pad * d * q.dtype.itemsize,
+            transcendentals=b * h * n_pad * n_pad),
     )(seed, q, k, v)
+    return out.reshape(shape4) if layout == "bnhd" else out
 
 
-def _bwd(q, k, v, do, seed, *, scale, n_valid, dropout_rate):
-    bh, n_pad, d = q.shape
-    kernel = functools.partial(_bwd_kernel, scale=scale, n_valid=n_valid,
+def _dims(q, layout):
+    if layout == "bhnd":
+        b, h, n_pad, d = q.shape
+    else:
+        b, n_pad, h, d = q.shape
+    return b, h, n_pad, d
+
+
+def _bwd(q, k, v, do, seed, *, scale, n_valid, dropout_rate, layout):
+    b, h, n_pad, d = _dims(q, layout)
+    if layout == "bnhd":
+        shape4 = q.shape
+        q, k, v, do = (x.reshape(b, n_pad, h * d) for x in (q, k, v, do))
+    body = _bwd_kernel if layout == "bhnd" else functools.partial(
+        _bwd_kernel_allheads, n_heads=h)
+    kernel = functools.partial(body, scale=scale, n_valid=n_valid,
                                dropout_rate=dropout_rate)
-    return pl.pallas_call(
+    grid = (b, h) if layout == "bhnd" else (b,)
+    outs = pl.pallas_call(
         kernel,
-        grid=(bh,),
+        grid=grid,
         interpret=_interpret(),
-        in_specs=[_seed_spec()] + _bh_specs(n_pad, d, 4),
-        out_specs=tuple(_bh_specs(n_pad, d, 3)),
-        out_shape=tuple(jax.ShapeDtypeStruct((bh, n_pad, d), t.dtype)
+        in_specs=[_seed_spec(len(grid))] + _bh_specs(layout, h, n_pad, d, 4),
+        out_specs=tuple(_bh_specs(layout, h, n_pad, d, 3)),
+        out_shape=tuple(jax.ShapeDtypeStruct(t.shape, t.dtype)
                         for t in (q, k, v)),
         scratch_shapes=[pltpu.VMEM((n_pad, d), jnp.float32),
                         pltpu.VMEM((n_pad, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=10 * bh * n_pad * n_pad * d,
-            bytes_accessed=7 * bh * n_pad * d * q.dtype.itemsize,
-            transcendentals=bh * n_pad * n_pad),
+            flops=10 * b * h * n_pad * n_pad * d,
+            bytes_accessed=7 * b * h * n_pad * d * q.dtype.itemsize,
+            transcendentals=b * h * n_pad * n_pad),
     )(seed, q, k, v, do)
+    if layout == "bnhd":
+        outs = tuple(x.reshape(shape4) for x in outs)
+    return outs
 
 
 # ---------------------------------------------------------------------------
 # Public op
 # ---------------------------------------------------------------------------
 
-def _pad_n(x, n_pad):
-    n = x.shape[2]
+def _n_axis(layout):
+    return 2 if layout == "bhnd" else 1
+
+
+def _pad_n(x, n_pad, layout):
+    axis = _n_axis(layout)
+    n = x.shape[axis]
     if n == n_pad:
         return x
-    return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, n_pad - n)
+    return jnp.pad(x, pads)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash(q, k, v, scale, dropout_rate, n_valid, seed):
-    out, _ = _flash_fwd(q, k, v, scale, dropout_rate, n_valid, seed)
+def _unpad_n(x, n, layout):
+    if x.shape[_n_axis(layout)] == n:
+        return x
+    return (x[:, :, :n] if layout == "bhnd" else x[:, :n])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 7))
+def _flash(q, k, v, scale, dropout_rate, n_valid, seed, layout):
+    out, _ = _flash_fwd(q, k, v, scale, dropout_rate, n_valid, seed, layout)
     return out
 
 
-def _flash_fwd(q, k, v, scale, dropout_rate, n_valid, seed):
-    b, h, n, d = q.shape
+def _flash_fwd(q, k, v, scale, dropout_rate, n_valid, seed, layout):
+    n = q.shape[_n_axis(layout)]
     n_pad = pl.cdiv(n, LANE) * LANE
-    args = [_pad_n(x, n_pad).reshape(b * h, n_pad, d) for x in (q, k, v)]
+    args = [_pad_n(x, n_pad, layout) for x in (q, k, v)]
     o = _fwd(*args, seed, scale=scale, n_valid=n_valid,
-             dropout_rate=dropout_rate)
-    o = o.reshape(b, h, n_pad, d)[:, :, :n]
-    return o, (q, k, v, seed)
+             dropout_rate=dropout_rate, layout=layout)
+    return _unpad_n(o, n, layout), (q, k, v, seed)
 
 
-def _flash_bwd(scale, dropout_rate, n_valid, residuals, g):
+def _flash_bwd(scale, dropout_rate, n_valid, layout, residuals, g):
     q, k, v, seed = residuals
-    b, h, n, d = q.shape
+    n = q.shape[_n_axis(layout)]
     n_pad = pl.cdiv(n, LANE) * LANE
-    args = [_pad_n(x, n_pad).reshape(b * h, n_pad, d) for x in (q, k, v, g)]
+    args = [_pad_n(x, n_pad, layout) for x in (q, k, v, g)]
     dq, dk, dv = _bwd(*args, seed, scale=scale, n_valid=n_valid,
-                      dropout_rate=dropout_rate)
-    unpad = lambda x: x.reshape(b, h, n_pad, d)[:, :, :n]
-    return unpad(dq), unpad(dk), unpad(dv), None
+                      dropout_rate=dropout_rate, layout=layout)
+    return (_unpad_n(dq, n, layout), _unpad_n(dk, n, layout),
+            _unpad_n(dv, n, layout), None)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -314,19 +481,35 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     scale: float, dropout_rate: float = 0.0,
                     dropout_rng: Optional[jax.Array] = None,
-                    n_valid: Optional[int] = None) -> jax.Array:
-    """softmax(q k^T * scale) v with fused TPU kernel; [B, H, N, D].
+                    n_valid: Optional[int] = None,
+                    layout: str = "bhnd") -> jax.Array:
+    """softmax(q k^T * scale) v with fused TPU kernel.
+
+    ``layout`` selects the storage convention: "bhnd" ([B, H, N, D], the
+    classic layout) or "bnhd" ([B, N, H, D] — what the fused LN+QKV kernel
+    emits; the output comes back in the same layout so the head merge before
+    the out-projection is a free reshape).
 
     ``n_valid`` (static) masks trailing key positions — callers running a
     pre-padded token stream pass the true length and keep N lane-aligned so
     no per-call padding copies happen here.
     """
-    n = q.shape[2]
+    assert layout in ("bhnd", "bnhd")
+    n = q.shape[_n_axis(layout)]
     # Tiny head dims (the reference's d_model=2 temporal head) and very long
     # sequences don't fit this kernel's regime; the in-kernel PRNG dropout
     # only lowers on real TPUs (no CPU interpret rule for prng_seed).
     if (n > MAX_RESIDENT_N or q.shape[-1] < 8
             or (dropout_rate > 0.0 and _interpret())):
+        # XLA fallback works in bhnd; convert at the boundary (only hit for
+        # tiny head dims, very long N, or CPU-interpret dropout).
+        if layout == "bnhd":
+            to_bhnd = lambda x: x.transpose(0, 2, 1, 3)
+            out = flash_attention(
+                to_bhnd(q), to_bhnd(k), to_bhnd(v), scale=scale,
+                dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+                n_valid=n_valid, layout="bhnd")
+            return out.transpose(0, 2, 1, 3)
         from neurovit_tpu.ops.attention import _sdpa_xla
         if n_valid is not None and n_valid < n:
             neg = jnp.full((n,), NEG_INF, dtype=jnp.float32)
@@ -345,7 +528,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     else:
         seed = jnp.zeros((1, 1), jnp.int32)
     return _flash(q, k, v, scale, float(dropout_rate),
-                  int(n_valid) if n_valid is not None else n, seed)
+                  int(n_valid) if n_valid is not None else n, seed, layout)
 
 
 def _sdpa_xla_masked(q, k, v, *, scale, bias, dropout_rate, dropout_rng):

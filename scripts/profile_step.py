@@ -17,6 +17,51 @@ import optax
 OUT = "/tmp/nvt_profile"
 
 
+def run_and_trace_4d():
+    """config4D step: frozen ViT encoder over the folded B*T stream +
+    temporal transformer + projection head (batch 2, T=140)."""
+    from functools import partial
+
+    from neurovit_tpu.config import load_config
+    from neurovit_tpu.models import NeuroEncoder
+
+    config = load_config("configs/config4D.yaml", overrides={
+        "KERNEL_IMPL": "pallas", "TRAINING_PRECISION": "bf16"})
+    model = NeuroEncoder(config)
+    variables = model.init(jax.random.key(0))
+    params = variables["params"]
+    mask = model.trainable_mask(params)
+    tx = optax.masked(optax.adamw(config["TRAINING_LEARNING_RATE"]), mask)
+    opt_state = tx.init(params)
+    b, t = 2, 140
+    x = jnp.asarray(np.random.RandomState(0).randn(b, 90, 90, 90, t),
+                    jnp.float32)
+    labels = jnp.asarray(np.random.RandomState(1).randint(0, 2, b))
+    rng = jax.random.key(1, impl="rbg")
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, rng):
+        rng, srng = jax.random.split(rng)
+
+        def loss_fn(p):
+            logits, _ = model.apply(p, x, deterministic=False, rng=srng)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, rng, loss
+
+    for _ in range(3):
+        params, opt_state, rng, loss = step(params, opt_state, rng)
+    float(loss)
+    jax.profiler.start_trace(OUT)
+    for _ in range(3):
+        params, opt_state, rng, loss = step(params, opt_state, rng)
+    float(loss)
+    jax.profiler.stop_trace()
+
+
 def run_and_trace():
     from neurovit_tpu.config import load_config
     from neurovit_tpu.models import NeuroEncoder
@@ -119,5 +164,8 @@ def summarize():
 
 if __name__ == "__main__":
     print(jax.devices())
-    run_and_trace()
+    if os.environ.get("PROFILE_MODE") == "4d":
+        run_and_trace_4d()
+    else:
+        run_and_trace()
     summarize()

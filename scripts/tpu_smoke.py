@@ -149,6 +149,68 @@ def check_fused_mlp():
     print(f"fused_mlp dropout OK (residual-only fraction {frac:.3f})")
 
 
+def check_fused_attention_path():
+    """Compiled fused LN+QKV, bnhd flash, and outproj kernels vs the XLA
+    composition, on-chip, deterministic."""
+    from neurovit_tpu import nn
+    from neurovit_tpu.models import vit3d
+    from neurovit_tpu.ops import fused_outproj, fused_qkv
+    from neurovit_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.RandomState(11)
+    dim, heads, dim_head = 1024, 8, 64
+    inner = heads * dim_head
+    cfg = vit3d.ViTConfig(image_size=90, image_patch_size=9, frames=90,
+                          frame_patch_size=9, num_classes=2, impl="pallas")
+    key = jax.random.key(21)
+    params = vit3d.init(key, cfg)
+    block = jax.tree.map(lambda p: p[0].astype(jnp.float32),
+                         params["blocks"])
+    x = jnp.asarray(rng.randn(2, 1024, dim), jnp.bfloat16)
+
+    def golden(block, x):
+        normed = nn.layer_norm(block["attn_norm"], x)
+        w = block["qkv"]["kernel"].astype(x.dtype).reshape(
+            dim, 3, heads, dim_head)
+        q, k, v = (jnp.einsum("bnd,dhe->bhne", normed, w[:, i],
+                              preferred_element_type=jnp.float32
+                              ).astype(x.dtype) for i in range(3))
+        out = flash_attention(q, k, v, scale=dim_head ** -0.5)
+        wout = block["attn_out"]["kernel"].astype(out.dtype).reshape(
+            heads, dim_head, dim)
+        proj = jnp.einsum("bhne,hed->bnd", out, wout,
+                          preferred_element_type=jnp.float32)
+        return x + (proj + block["attn_out"]["bias"].astype(jnp.float32)
+                    ).astype(x.dtype)
+
+    def fused(block, x):
+        q, k, v = fused_qkv.fused_ln_qkv(block, x, heads, dim_head)
+        out = flash_attention(q, k, v, scale=dim_head ** -0.5,
+                              layout="bnhd")
+        return fused_outproj.fused_outproj_residual(
+            block["attn_out"], x, out.reshape(2, 1024, inner),
+            deterministic=True)
+
+    got, want = fused(block, x), golden(block, x)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                - want.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(want.astype(jnp.float32))))
+    print(f"fused attn path fwd max|err| = {err:.2e} (scale {scale:.1f})")
+    assert err < 0.15, "fused attention path forward mismatch"
+
+    cot = jnp.asarray(rng.randn(2, 1024, dim), jnp.float32)
+    g_f = jax.grad(lambda b, v: jnp.sum(
+        fused(b, v).astype(jnp.float32) * cot), argnums=(0, 1))(block, x)
+    g_g = jax.grad(lambda b, v: jnp.sum(
+        golden(b, v).astype(jnp.float32) * cot), argnums=(0, 1))(block, x)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_g)):
+        denom = float(jnp.max(jnp.abs(b.astype(jnp.float32)))) + 1e-6
+        rel = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                    - b.astype(jnp.float32)))) / denom
+        assert rel < 5e-2, f"fused attention path grad mismatch rel={rel}"
+    print("fused attn path grads OK")
+
+
 def time_flagship(impl: str, batch: int = 32, iters: int = 10):
     import optax
     from neurovit_tpu.config import load_config
@@ -210,6 +272,7 @@ if __name__ == "__main__":
     check_kernel_numerics()
     check_fused_dropout()
     check_fused_mlp()
+    check_fused_attention_path()
     if not args.quick:
         def try_time(impl, batch):
             while batch >= 2:

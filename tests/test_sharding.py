@@ -107,6 +107,44 @@ def test_4d_volume_stream_sharded(tiny_config):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_4d_tp_step_matches_single_device(tiny_config):
+    """4D mode on a dp4 x tp2 mesh (frozen ViT encoder tensor-parallel over
+    the model axis, B*T stream over the data axis): one train step must
+    match the 1-device step — loss and updated params within reduction-order
+    tolerance. This is the §2.0-item-5 scaling story for the 4D path: the
+    frozen encoder forward dominates the step, so TP over it is the lever."""
+    from neurovit_tpu.models import NeuroEncoder
+    from neurovit_tpu.training import Trainer
+
+    config = dict(tiny_config)
+    config.update({"TRAINING_DIM": 4, "DATASET_NAME": "adni",
+                   "TRAINING_BATCH_SIZE": 2, "TRAINING_EPOCHS": 1,
+                   "MESH_DATA_AXIS": 4, "MESH_MODEL_AXIS": 2})
+    model = NeuroEncoder(config)
+    import test_trainer_4d
+    ds = test_trainer_4d.Synthetic4D(4, t=4)
+    ds_val = test_trainer_4d.Synthetic4D(2, t=4)
+    mesh_tp = create_mesh(config)
+    mesh_1 = create_mesh({"MESH_DATA_AXIS": 1, "MESH_MODEL_AXIS": 1},
+                         devices=jax.devices()[:1])
+    t_tp = Trainer(config, model, ds, ds_val, mesh=mesh_tp)
+    t_1 = Trainer(config, model, ds, ds_val, mesh=mesh_1)
+    assert dict(mesh_tp.shape) == {DATA_AXIS: 4, MODEL_AXIS: 2}
+
+    host = t_tp._device_batch(next(iter(t_tp.dataloader)))[0]
+    ts_tp, m_tp = t_tp._train_step(
+        t_tp.train_state, shard_batch(host, mesh_tp, replicate=True))
+    ts_1, m_1 = t_1._train_step(
+        t_1.train_state, shard_batch(host, mesh_1, replicate=True))
+
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ts_tp["params"]),
+                    jax.tree.leaves(ts_1["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_tensor_parallel_shardings(tiny_config):
     """TP rules split qkv/mlp weights over the model axis."""
     from neurovit_tpu.models import NeuroEncoder
