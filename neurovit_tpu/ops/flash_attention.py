@@ -368,6 +368,9 @@ def _fwd(q, k, v, seed, *, scale, n_valid, dropout_rate, layout):
     kernel = functools.partial(body, scale=scale, n_valid=n_valid,
                                dropout_rate=dropout_rate)
     grid = (b, h) if layout == "bhnd" else (b,)
+    semantics = ("parallel",) * len(grid)   # programs are independent; let
+    #                                         Mosaic split them over the two
+    #                                         v5e megacores
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -376,6 +379,7 @@ def _fwd(q, k, v, seed, *, scale, n_valid, dropout_rate, layout):
         out_specs=_bh_specs(layout, h, n_pad, d, 1)[0],
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=semantics,
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * n_pad * n_pad * d,
@@ -403,6 +407,9 @@ def _bwd(q, k, v, do, seed, *, scale, n_valid, dropout_rate, layout):
     kernel = functools.partial(body, scale=scale, n_valid=n_valid,
                                dropout_rate=dropout_rate)
     grid = (b, h) if layout == "bhnd" else (b,)
+    # dk/dv scratch accumulates only within one program (zeroed at program
+    # start), so the backward grid is parallel-safe too.
+    semantics = ("parallel",) * len(grid)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -414,6 +421,7 @@ def _bwd(q, k, v, do, seed, *, scale, n_valid, dropout_rate, layout):
         scratch_shapes=[pltpu.VMEM((n_pad, d), jnp.float32),
                         pltpu.VMEM((n_pad, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=semantics,
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=10 * b * h * n_pad * n_pad * d,

@@ -51,6 +51,10 @@ INV_SQRT2PI = 0.3989422804014327
 # scoped-VMEM budget; v5e has 128 MB of VMEM. "arbitrary" keeps the M grid
 # sequential (the dgamma/dbeta scratch accumulates across grid steps, so the
 # grid must not be split across megacores).
+_FWD_COMPILER_PARAMS = pltpu.CompilerParams(
+    # The forward has no cross-block state: parallel over the two megacores.
+    dimension_semantics=("parallel",),
+    vmem_limit_bytes=100 * 1024 * 1024)
 _COMPILER_PARAMS = pltpu.CompilerParams(
     dimension_semantics=("arbitrary",),
     vmem_limit_bytes=100 * 1024 * 1024)
@@ -242,7 +246,7 @@ def _fwd_call(x2d, gamma, beta, w1, b1, w2, b2, seed, *, dropout_rate):
         out_specs=(_row_spec(BLOCK_M, dim), _row_spec(BLOCK_M, hid)),
         out_shape=(jax.ShapeDtypeStruct((m_pad, dim), x2d.dtype),
                    jax.ShapeDtypeStruct((m_pad, hid), x2d.dtype)),
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_FWD_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=4 * m_pad * dim * hid,
             bytes_accessed=(2 * m_pad * dim + m_pad * hid + 2 * dim * hid)

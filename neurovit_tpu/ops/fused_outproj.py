@@ -32,8 +32,10 @@ from neurovit_tpu.ops.flash_attention import (_dropout_mask, _interpret,
                                               _quantized_keep)
 
 BLOCK_M = 512
+# Both kernels are scratch-free; the M grid splits across the two v5e
+# megacores.
 _COMPILER_PARAMS = pltpu.CompilerParams(
-    dimension_semantics=("arbitrary",),
+    dimension_semantics=("parallel",),
     vmem_limit_bytes=100 * 1024 * 1024)
 
 

@@ -37,6 +37,10 @@ from neurovit_tpu.nn import LN_EPS
 from neurovit_tpu.ops.flash_attention import _interpret
 
 BLOCK_M = 512
+_FWD_COMPILER_PARAMS = pltpu.CompilerParams(
+    # Forward has no cross-block state: parallel over the two megacores.
+    dimension_semantics=("parallel",),
+    vmem_limit_bytes=100 * 1024 * 1024)
 _COMPILER_PARAMS = pltpu.CompilerParams(
     dimension_semantics=("arbitrary",),   # dgamma/dbeta accumulate serially
     vmem_limit_bytes=100 * 1024 * 1024)
@@ -132,7 +136,7 @@ def _fwd_call(x2d, gamma, beta, w):
                    jax.ShapeDtypeStruct((m_pad, inner), x2d.dtype),
                    jax.ShapeDtypeStruct((m_pad, inner), x2d.dtype),
                    jax.ShapeDtypeStruct((m_pad, dim), x2d.dtype)),
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_FWD_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * dim * 3 * inner,
             bytes_accessed=(2 * m_pad * dim + 3 * m_pad * inner
