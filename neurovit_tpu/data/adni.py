@@ -204,7 +204,7 @@ class ADNIDataset:
         sx, sy, sz = shapes[paths[0]]
         out_shape = (sx - 1, sy - 19, sz - 1)
         return native_io.read_batch(paths, tps, ((1, 0), (10, -9), (1, 0)),
-                                    out_shape, zscore=True,
+                                    out_shape, zscore=1,
                                     n_threads=n_threads)
 
     def sample(self, idx: int) -> Optional[Dict[str, Any]]:
@@ -245,7 +245,7 @@ class ADNIDataset:
             out_shape = (shape[0] - 1, shape[1] - 19, shape[2] - 1)
             vol = native_io.read_timepoint(
                 fmri_path, timepoint, ((1, 0), (10, -9), (1, 0)), out_shape,
-                zscore=True)
+                zscore=1)          # mode 1: (v-mean)/(std+1e-8), ADNI
             if vol is not None:
                 return vol
         img = nifti.load(fmri_path)

@@ -134,11 +134,18 @@ class DataLoader:
         meta = getattr(self.dataset, "sample_meta", None)
         if read_batch is None or meta is None or len(idxs) != self.batch_size:
             return None
-        vols = read_batch(idxs, n_threads=self.num_workers)
-        if vols is None:
+        try:
+            vols = read_batch(idxs, n_threads=self.num_workers)
+            if vols is None:
+                return None
+            metas = [meta(int(i)) for i in idxs]
+        except Exception as e:
+            # Keep per-sample fault tolerance: a bad row (e.g. unparseable
+            # metadata) falls back to the per-sample path, where dataset
+            # error handling + retry + valid-masking apply.
+            print(f"Batched read failed ({e}); falling back to per-sample")
             return None
         batch: Dict[str, Any] = {}
-        metas = [meta(int(i)) for i in idxs]
         for key in metas[0]:
             vals = [m[key] for m in metas]
             batch[key] = (np.stack(vals) if key in ARRAY_FIELDS else vals)

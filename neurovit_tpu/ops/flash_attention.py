@@ -162,19 +162,23 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref,
     dk_acc[...] = jnp.zeros_like(dk_acc)
     dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    kv_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, n_pad), 1)
-    pad_maskf = (kv_ids < n_valid).astype(jnp.float32)
+    if n_valid < n_pad:
+        kv_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, n_pad), 1)
+        pad_maskf = (kv_ids < n_valid).astype(jnp.float32)
 
     def body(qb, _):
         q = q_ref[pl.ds(qb * block_q, block_q), :]
         do = do_ref[pl.ds(qb * block_q, block_q), :]
 
         # Rematerialize P exactly as the forward did (bf16 in, f32 accum,
-        # exp2 + SCORE_CAP clip, post-exp2 pad mask).
+        # exp2 + SCORE_CAP clip, post-exp2 pad mask — skipped entirely for
+        # lane-aligned sequences, matching the forward).
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * (scale * LOG2E)
-        p = jnp.exp2(jnp.clip(s, -SCORE_CAP, SCORE_CAP)) * pad_maskf
+        p = jnp.exp2(jnp.clip(s, -SCORE_CAP, SCORE_CAP))
+        if n_valid < n_pad:
+            p = p * pad_maskf
         p = p / jnp.sum(p, axis=1, keepdims=True)
 
         if dropout_rate > 0.0:
@@ -272,8 +276,9 @@ def _bwd_kernel_allheads(seed_ref, q_ref, k_ref, v_ref, do_ref,
     n_blocks = n_pad // block_q
     keep = _quantized_keep(1.0 - dropout_rate)
 
-    kv_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, n_pad), 1)
-    pad_maskf = (kv_ids < n_valid).astype(jnp.float32)
+    if n_valid < n_pad:
+        kv_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, n_pad), 1)
+        pad_maskf = (kv_ids < n_valid).astype(jnp.float32)
 
     for h in range(n_heads):
         k = k_ref[:, pl.ds(h * d, d)]
@@ -286,7 +291,9 @@ def _bwd_kernel_allheads(seed_ref, q_ref, k_ref, v_ref, do_ref,
             s = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * (scale * LOG2E)
-            p = jnp.exp2(jnp.clip(s, -SCORE_CAP, SCORE_CAP)) * pad_maskf
+            p = jnp.exp2(jnp.clip(s, -SCORE_CAP, SCORE_CAP))
+            if n_valid < n_pad:
+                p = p * pad_maskf
             p = p / jnp.sum(p, axis=1, keepdims=True)
             if dropout_rate > 0.0:
                 pid = pl.program_id(0) * n_heads + h

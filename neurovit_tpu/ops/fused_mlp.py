@@ -43,6 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 from neurovit_tpu.nn import LN_EPS
 from neurovit_tpu.ops.flash_attention import (_dropout_mask, _interpret,
                                               _quantized_keep)
+from neurovit_tpu.ops.common import (const_spec, pad_m, row_spec,
+                                      seed_spec)
 
 BLOCK_M = 512
 INV_SQRT2 = 0.7071067811865476
@@ -84,12 +86,12 @@ def _gelu_grad(x):
 
 
 def _ln_stats(xf):
-    """Per-row mean/rstd/normalized value in f32 (matches nn.layer_norm)."""
+    """Per-row (xhat, rstd) in f32 (matches nn.layer_norm)."""
     mean = jnp.mean(xf, axis=1, keepdims=True)
     xc = xf - mean
     var = jnp.mean(xc * xc, axis=1, keepdims=True)
     rstd = jax.lax.rsqrt(var + LN_EPS)
-    return xc * rstd  # xhat
+    return xc * rstd, rstd
 
 
 def _masks(seed_ref, shape1, shape2, keep):
@@ -111,7 +113,7 @@ def _fwd_kernel(seed_ref, x_ref, gamma_ref, beta_ref, w1_ref, b1_ref,
     inv_keep = 1.0 / keep
 
     xf = x_ref[...].astype(jnp.float32)
-    xhat = _ln_stats(xf)
+    xhat, _ = _ln_stats(xf)
     u = (xhat * gamma_ref[0].astype(jnp.float32)
          + beta_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
 
@@ -153,7 +155,7 @@ def _bwd_kernel(seed_ref, dy_ref, x_ref, h_ref, gamma_ref, beta_ref,
 
     # Recompute the forward exactly (same casts, same PRNG stream).
     xf = x_ref[...].astype(jnp.float32)
-    xhat = _ln_stats(xf)
+    xhat, rstd = _ln_stats(xf)
     u = (xhat * gamma + beta_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
     u_ref[...] = u                       # dW1 = u^T dh (XLA einsum)
     hf = h_ref[...].astype(jnp.float32)
@@ -190,7 +192,6 @@ def _bwd_kernel(seed_ref, dy_ref, x_ref, h_ref, gamma_ref, beta_ref,
     dxhat = du * gamma
     m1 = jnp.mean(dxhat, axis=1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=1, keepdims=True)
-    rstd = _ln_rstd(xf)
     dx = rstd * (dxhat - m1 - xhat * m2) + dy
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
@@ -200,35 +201,9 @@ def _bwd_kernel(seed_ref, dy_ref, x_ref, h_ref, gamma_ref, beta_ref,
         db_out[...] = dbeta_acc[...]
 
 
-def _ln_rstd(xf):
-    mean = jnp.mean(xf, axis=1, keepdims=True)
-    xc = xf - mean
-    var = jnp.mean(xc * xc, axis=1, keepdims=True)
-    return jax.lax.rsqrt(var + LN_EPS)
-
-
 # ---------------------------------------------------------------------------
 # pallas_call wrappers + custom VJP
 # ---------------------------------------------------------------------------
-
-def _row_spec(bm, width):
-    return pl.BlockSpec((bm, width), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
-
-
-def _const_spec(shape):
-    zeros = (0,) * len(shape)
-    return pl.BlockSpec(shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
-
-
-def _seed_spec():
-    return pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-
-
-def _pad_m(x, m_pad):
-    m = x.shape[0]
-    return x if m == m_pad else jnp.pad(x, ((0, m_pad - m), (0, 0)))
-
 
 def _fwd_call(x2d, gamma, beta, w1, b1, w2, b2, seed, *, dropout_rate):
     m, dim = x2d.shape
@@ -239,11 +214,11 @@ def _fwd_call(x2d, gamma, beta, w1, b1, w2, b2, seed, *, dropout_rate):
         kernel,
         grid=(m_pad // BLOCK_M,),
         interpret=_interpret(),
-        in_specs=[_seed_spec(), _row_spec(BLOCK_M, dim),
-                  _const_spec((1, dim)), _const_spec((1, dim)),
-                  _const_spec((dim, hid)), _const_spec((1, hid)),
-                  _const_spec((hid, dim)), _const_spec((1, dim))],
-        out_specs=(_row_spec(BLOCK_M, dim), _row_spec(BLOCK_M, hid)),
+        in_specs=[seed_spec(), row_spec(BLOCK_M, dim),
+                  const_spec((1, dim)), const_spec((1, dim)),
+                  const_spec((dim, hid)), const_spec((1, hid)),
+                  const_spec((hid, dim)), const_spec((1, dim))],
+        out_specs=(row_spec(BLOCK_M, dim), row_spec(BLOCK_M, hid)),
         out_shape=(jax.ShapeDtypeStruct((m_pad, dim), x2d.dtype),
                    jax.ShapeDtypeStruct((m_pad, hid), x2d.dtype)),
         compiler_params=_FWD_COMPILER_PARAMS,
@@ -252,7 +227,7 @@ def _fwd_call(x2d, gamma, beta, w1, b1, w2, b2, seed, *, dropout_rate):
             bytes_accessed=(2 * m_pad * dim + m_pad * hid + 2 * dim * hid)
             * x2d.dtype.itemsize,
             transcendentals=m_pad * hid),
-    )(seed, _pad_m(x2d, m_pad), gamma[None], beta[None], w1, b1[None],
+    )(seed, pad_m(x2d, m_pad), gamma[None], beta[None], w1, b1[None],
       w2, b2[None])
     return y[:m], h[:m]
 
@@ -267,14 +242,14 @@ def _bwd_call(dy, x2d, h, gamma, beta, w1, w2, seed, *, dropout_rate):
         kernel,
         grid=(m_pad // BLOCK_M,),
         interpret=_interpret(),
-        in_specs=[_seed_spec(), _row_spec(BLOCK_M, dim),
-                  _row_spec(BLOCK_M, dim), _row_spec(BLOCK_M, hid),
-                  _const_spec((1, dim)), _const_spec((1, dim)),
-                  _const_spec((dim, hid)), _const_spec((hid, dim))],
-        out_specs=(_row_spec(BLOCK_M, dim), _row_spec(BLOCK_M, dim),
-                   _row_spec(BLOCK_M, hid), _row_spec(BLOCK_M, dim),
-                   _row_spec(BLOCK_M, hid),
-                   _const_spec((1, dim)), _const_spec((1, dim))),
+        in_specs=[seed_spec(), row_spec(BLOCK_M, dim),
+                  row_spec(BLOCK_M, dim), row_spec(BLOCK_M, hid),
+                  const_spec((1, dim)), const_spec((1, dim)),
+                  const_spec((dim, hid)), const_spec((hid, dim))],
+        out_specs=(row_spec(BLOCK_M, dim), row_spec(BLOCK_M, dim),
+                   row_spec(BLOCK_M, hid), row_spec(BLOCK_M, dim),
+                   row_spec(BLOCK_M, hid),
+                   const_spec((1, dim)), const_spec((1, dim))),
         out_shape=(jax.ShapeDtypeStruct((m_pad, dim), dt),
                    jax.ShapeDtypeStruct((m_pad, dim), dt),
                    jax.ShapeDtypeStruct((m_pad, hid), dt),
@@ -290,7 +265,7 @@ def _bwd_call(dy, x2d, h, gamma, beta, w1, w2, seed, *, dropout_rate):
             bytes_accessed=(6 * m_pad * dim + 3 * m_pad * hid
                             + 2 * dim * hid) * dt.itemsize,
             transcendentals=2 * m_pad * hid),
-    )(seed, _pad_m(dy, m_pad), _pad_m(x2d, m_pad), _pad_m(h, m_pad),
+    )(seed, pad_m(dy, m_pad), pad_m(x2d, m_pad), pad_m(h, m_pad),
       gamma[None], beta[None], w1, w2)
     return dx[:m], u[:m], a[:m], dz[:m], dh[:m], dgamma[0], dbeta[0]
 

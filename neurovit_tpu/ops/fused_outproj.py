@@ -30,6 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from neurovit_tpu.ops.flash_attention import (_dropout_mask, _interpret,
                                               _quantized_keep)
+from neurovit_tpu.ops.common import (const_spec, pad_m, row_spec,
+                                      seed_spec)
 
 BLOCK_M = 512
 # Both kernels are scratch-free; the M grid splits across the two v5e
@@ -69,25 +71,6 @@ def _bwd_kernel(seed_ref, dy_ref, w_ref, da_ref, dz_ref, *,
         preferred_element_type=jnp.float32).astype(da_ref.dtype)
 
 
-def _row_spec(bm, width):
-    return pl.BlockSpec((bm, width), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
-
-
-def _const_spec(shape):
-    zeros = (0,) * len(shape)
-    return pl.BlockSpec(shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
-
-
-def _seed_spec():
-    return pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-
-
-def _pad_m(x, m_pad):
-    m = x.shape[0]
-    return x if m == m_pad else jnp.pad(x, ((0, m_pad - m), (0, 0)))
-
-
 def _fwd_call(a2d, x2d, w, b, seed, *, dropout_rate):
     m, dim = x2d.shape
     inner = a2d.shape[1]
@@ -97,10 +80,10 @@ def _fwd_call(a2d, x2d, w, b, seed, *, dropout_rate):
         kernel,
         grid=(m_pad // BLOCK_M,),
         interpret=_interpret(),
-        in_specs=[_seed_spec(), _row_spec(BLOCK_M, inner),
-                  _row_spec(BLOCK_M, dim), _const_spec((inner, dim)),
-                  _const_spec((1, dim))],
-        out_specs=_row_spec(BLOCK_M, dim),
+        in_specs=[seed_spec(), row_spec(BLOCK_M, inner),
+                  row_spec(BLOCK_M, dim), const_spec((inner, dim)),
+                  const_spec((1, dim))],
+        out_specs=row_spec(BLOCK_M, dim),
         out_shape=jax.ShapeDtypeStruct((m_pad, dim), x2d.dtype),
         compiler_params=_COMPILER_PARAMS,
         cost_estimate=pl.CostEstimate(
@@ -108,7 +91,7 @@ def _fwd_call(a2d, x2d, w, b, seed, *, dropout_rate):
             bytes_accessed=(m_pad * inner + 2 * m_pad * dim + inner * dim)
             * x2d.dtype.itemsize,
             transcendentals=0),
-    )(seed, _pad_m(a2d, m_pad), _pad_m(x2d, m_pad), w, b[None])
+    )(seed, pad_m(a2d, m_pad), pad_m(x2d, m_pad), w, b[None])
     return y[:m]
 
 
@@ -120,9 +103,9 @@ def _bwd_call(dy, w, seed, inner, *, dropout_rate):
         kernel,
         grid=(m_pad // BLOCK_M,),
         interpret=_interpret(),
-        in_specs=[_seed_spec(), _row_spec(BLOCK_M, dim),
-                  _const_spec((inner, dim))],
-        out_specs=(_row_spec(BLOCK_M, inner), _row_spec(BLOCK_M, dim)),
+        in_specs=[seed_spec(), row_spec(BLOCK_M, dim),
+                  const_spec((inner, dim))],
+        out_specs=(row_spec(BLOCK_M, inner), row_spec(BLOCK_M, dim)),
         out_shape=(jax.ShapeDtypeStruct((m_pad, inner), dy.dtype),
                    jax.ShapeDtypeStruct((m_pad, dim), dy.dtype)),
         compiler_params=_COMPILER_PARAMS,
@@ -131,7 +114,7 @@ def _bwd_call(dy, w, seed, inner, *, dropout_rate):
             bytes_accessed=(m_pad * inner + 2 * m_pad * dim + inner * dim)
             * dy.dtype.itemsize,
             transcendentals=0),
-    )(seed, _pad_m(dy, m_pad), w)
+    )(seed, pad_m(dy, m_pad), w)
     return da[:m], dz[:m]
 
 

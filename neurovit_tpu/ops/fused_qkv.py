@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from neurovit_tpu.nn import LN_EPS
 from neurovit_tpu.ops.flash_attention import _interpret
+from neurovit_tpu.ops.common import const_spec, pad_m, row_spec
 
 BLOCK_M = 512
 _FWD_COMPILER_PARAMS = pltpu.CompilerParams(
@@ -47,18 +48,19 @@ _COMPILER_PARAMS = pltpu.CompilerParams(
 
 
 def _ln(xf):
+    """Per-row (xhat, rstd) in f32 (matches nn.layer_norm)."""
     mean = jnp.mean(xf, axis=1, keepdims=True)
     xc = xf - mean
     var = jnp.mean(xc * xc, axis=1, keepdims=True)
     rstd = jax.lax.rsqrt(var + LN_EPS)
-    return xc * rstd
+    return xc * rstd, rstd
 
 
 def _fwd_kernel(x_ref, gamma_ref, beta_ref, w_ref, q_ref, k_ref, v_ref,
                 u_ref):
     inner = q_ref.shape[1]
     xf = x_ref[...].astype(jnp.float32)
-    xhat = _ln(xf)
+    xhat, _ = _ln(xf)
     u = (xhat * gamma_ref[0].astype(jnp.float32)
          + beta_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
     u_ref[...] = u
@@ -78,7 +80,7 @@ def _bwd_kernel(dq_ref, dk_ref, dv_ref, x_ref, gamma_ref, w_ref,
         dbeta_acc[...] = jnp.zeros_like(dbeta_acc)
 
     xf = x_ref[...].astype(jnp.float32)
-    xhat = _ln(xf)
+    xhat, rstd = _ln(xf)
 
     dqkv = jnp.concatenate([dq_ref[...], dk_ref[...], dv_ref[...]], axis=1)
     # du = dqkv @ W^T (contract the 3*inner output dim), f32 MXU accumulation.
@@ -93,31 +95,12 @@ def _bwd_kernel(dq_ref, dk_ref, dv_ref, x_ref, gamma_ref, w_ref,
     dxhat = du * gamma
     m1 = jnp.mean(dxhat, axis=1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=1, keepdims=True)
-    mean = jnp.mean(xf, axis=1, keepdims=True)
-    xc = xf - mean
-    var = jnp.mean(xc * xc, axis=1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + LN_EPS)
     dx_ref[...] = (rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _flush():
         dg_out[...] = dgamma_acc[...]
         db_out[...] = dbeta_acc[...]
-
-
-def _row_spec(bm, width):
-    return pl.BlockSpec((bm, width), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
-
-
-def _const_spec(shape):
-    zeros = (0,) * len(shape)
-    return pl.BlockSpec(shape, lambda i, z=zeros: z, memory_space=pltpu.VMEM)
-
-
-def _pad_m(x, m_pad):
-    m = x.shape[0]
-    return x if m == m_pad else jnp.pad(x, ((0, m_pad - m), (0, 0)))
 
 
 def _fwd_call(x2d, gamma, beta, w):
@@ -128,10 +111,10 @@ def _fwd_call(x2d, gamma, beta, w):
         _fwd_kernel,
         grid=(m_pad // BLOCK_M,),
         interpret=_interpret(),
-        in_specs=[_row_spec(BLOCK_M, dim), _const_spec((1, dim)),
-                  _const_spec((1, dim)), _const_spec((dim, 3 * inner))],
-        out_specs=(_row_spec(BLOCK_M, inner), _row_spec(BLOCK_M, inner),
-                   _row_spec(BLOCK_M, inner), _row_spec(BLOCK_M, dim)),
+        in_specs=[row_spec(BLOCK_M, dim), const_spec((1, dim)),
+                  const_spec((1, dim)), const_spec((dim, 3 * inner))],
+        out_specs=(row_spec(BLOCK_M, inner), row_spec(BLOCK_M, inner),
+                   row_spec(BLOCK_M, inner), row_spec(BLOCK_M, dim)),
         out_shape=(jax.ShapeDtypeStruct((m_pad, inner), x2d.dtype),
                    jax.ShapeDtypeStruct((m_pad, inner), x2d.dtype),
                    jax.ShapeDtypeStruct((m_pad, inner), x2d.dtype),
@@ -142,7 +125,7 @@ def _fwd_call(x2d, gamma, beta, w):
             bytes_accessed=(2 * m_pad * dim + 3 * m_pad * inner
                             + 3 * dim * inner) * x2d.dtype.itemsize,
             transcendentals=0),
-    )(_pad_m(x2d, m_pad), gamma[None], beta[None], w)
+    )(pad_m(x2d, m_pad), gamma[None], beta[None], w)
     q, k, v, u = outs
     return q[:m], k[:m], v[:m], u[:m]
 
@@ -155,11 +138,11 @@ def _bwd_call(dq, dk, dv, x2d, gamma, w):
         _bwd_kernel,
         grid=(m_pad // BLOCK_M,),
         interpret=_interpret(),
-        in_specs=[_row_spec(BLOCK_M, inner), _row_spec(BLOCK_M, inner),
-                  _row_spec(BLOCK_M, inner), _row_spec(BLOCK_M, dim),
-                  _const_spec((1, dim)), _const_spec((dim, 3 * inner))],
-        out_specs=(_row_spec(BLOCK_M, dim), _const_spec((1, dim)),
-                   _const_spec((1, dim))),
+        in_specs=[row_spec(BLOCK_M, inner), row_spec(BLOCK_M, inner),
+                  row_spec(BLOCK_M, inner), row_spec(BLOCK_M, dim),
+                  const_spec((1, dim)), const_spec((dim, 3 * inner))],
+        out_specs=(row_spec(BLOCK_M, dim), const_spec((1, dim)),
+                   const_spec((1, dim))),
         out_shape=(jax.ShapeDtypeStruct((m_pad, dim), x2d.dtype),
                    jax.ShapeDtypeStruct((1, dim), jnp.float32),
                    jax.ShapeDtypeStruct((1, dim), jnp.float32)),
@@ -171,8 +154,8 @@ def _bwd_call(dq, dk, dv, x2d, gamma, w):
             bytes_accessed=(2 * m_pad * dim + 3 * m_pad * inner
                             + 3 * dim * inner) * x2d.dtype.itemsize,
             transcendentals=0),
-    )(_pad_m(dq, m_pad), _pad_m(dk, m_pad), _pad_m(dv, m_pad),
-      _pad_m(x2d, m_pad), gamma[None], w)
+    )(pad_m(dq, m_pad), pad_m(dk, m_pad), pad_m(dv, m_pad),
+      pad_m(x2d, m_pad), gamma[None], w)
     return dx[:m], dgamma[0], dbeta[0]
 
 
