@@ -25,7 +25,7 @@ import optax
 
 A100_REFERENCE_VOLUMES_PER_SEC = 250.0
 
-BATCH = int(__import__("os").environ.get("BENCH_BATCH", "64"))
+BATCH = int(__import__("os").environ.get("BENCH_BATCH", "128"))
 REMAT = __import__("os").environ.get("BENCH_REMAT", "0") == "1"
 WARMUP = 3
 ITERS = 10

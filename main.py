@@ -50,6 +50,13 @@ def main():
     args = parse_args()
     config = get_config(args)
 
+    # Multi-host pods: bring up the JAX coordination service before any
+    # backend use (no-op on single-host runs; parallel/distributed.py).
+    from neurovit_tpu.parallel import distributed
+    if distributed.maybe_initialize(config):
+        print(f"Distributed runtime: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.device_count()} global devices")
+
     if not config["INFERENCE"] and not config["SWEEP"]:
         print("Training mode enabled.")
         folds = config.get("FOLDS", 0)

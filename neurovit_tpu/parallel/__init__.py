@@ -11,3 +11,4 @@ from neurovit_tpu.parallel.mesh import create_mesh, DATA_AXIS, MODEL_AXIS  # noq
 from neurovit_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding, replicated, shard_batch, param_shardings,
 )
+from neurovit_tpu.parallel import distributed  # noqa: F401
