@@ -22,11 +22,28 @@ from neurovit_tpu.models.neuro_encoder import NeuroEncoder
 
 
 class Predictor:
+    """Fixed-batch compiled predictor; pass ``mesh`` to serve data-parallel
+    over multiple chips (params replicated, request batch sharded over the
+    mesh ``data`` axis — throughput scales with the chip count; validated on
+    the virtual 8-device mesh in tests/test_serving.py)."""
+
     def __init__(self, model: NeuroEncoder, variables: Dict[str, Any],
-                 batch_size: int = 32):
+                 batch_size: int = 32, mesh=None):
         self.model = model
         self.variables = variables
         self.batch_size = batch_size
+        self.mesh = mesh
+        if mesh is not None:
+            from neurovit_tpu.parallel.sharding import replicated
+            if batch_size % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide over the mesh "
+                    f"data axis ({mesh.shape['data']})")
+            rep = replicated(mesh)
+            self.variables = {
+                "params": jax.device_put(variables["params"], rep),
+                "state": jax.device_put(variables["state"], rep),
+            }
 
         def forward(params, state, volumes):
             logits, _ = model.apply(params, volumes, state=state,
@@ -38,7 +55,8 @@ class Predictor:
     @classmethod
     def from_checkpoint(cls, config: Dict[str, Any], checkpoint_path: str,
                         batch_size: int = 32,
-                        seed: Optional[int] = None) -> "Predictor":
+                        seed: Optional[int] = None,
+                        mesh=None) -> "Predictor":
         """Build from a torch-style state-dict pickle (the Trainer's
         per-epoch / last-model saves)."""
         from neurovit_tpu.training import checkpoint as ckpt
@@ -48,7 +66,7 @@ class Predictor:
                            else config.get("TRAINING_SEED", 42)))
         variables["params"] = ckpt.load_state_dict_file(
             model, variables["params"], checkpoint_path, strict=False)
-        return cls(model, variables, batch_size)
+        return cls(model, variables, batch_size, mesh=mesh)
 
     def __call__(self, volumes: np.ndarray
                  ) -> Tuple[np.ndarray, np.ndarray]:
@@ -67,9 +85,15 @@ class Predictor:
             if real < bs:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], bs - real, axis=0)])
+            if self.mesh is not None:
+                from neurovit_tpu.parallel.sharding import batch_sharding
+                device_chunk = jax.device_put(chunk,
+                                              batch_sharding(self.mesh))
+            else:
+                device_chunk = jnp.asarray(chunk)
             probs = self._forward(self.variables["params"],
                                   self.variables["state"],
-                                  jnp.asarray(chunk))
+                                  device_chunk)
             probs_out[start:start + real] = np.asarray(probs)[:real]
         return probs_out.argmax(axis=1), probs_out
 

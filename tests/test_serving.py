@@ -31,3 +31,29 @@ def test_predictor_from_checkpoint_and_remainders(tiny_config, tmp_path):
     direct, _ = model.apply(variables["params"], jnp.asarray(vols[:2]))
     direct_probs = np.asarray(jax.nn.softmax(direct, axis=-1))
     np.testing.assert_allclose(probs[:2], direct_probs, atol=1e-4)
+
+
+def test_predictor_mesh_parallel_matches_single_device(tiny_config, tmp_path):
+    """DP-sharded serving over the 8-device mesh: same probabilities as the
+    single-device predictor, batch sharded over the data axis."""
+    from neurovit_tpu.parallel import create_mesh
+    from neurovit_tpu.training import state_dict as sd
+
+    model = NeuroEncoder(tiny_config)
+    variables = model.init(jax.random.key(3))
+    path = str(tmp_path / "model.pkl")
+    sd.save(path, sd.to_state_dict(model, variables["params"]))
+
+    mesh = create_mesh()
+    p_mesh = Predictor.from_checkpoint(tiny_config, path, batch_size=8,
+                                       mesh=mesh)
+    p_one = Predictor.from_checkpoint(tiny_config, path, batch_size=8)
+    vols = np.random.RandomState(1).randn(11, 20, 20, 20).astype(np.float32)
+    labels_m, probs_m = p_mesh(vols)
+    labels_1, probs_1 = p_one(vols)
+    np.testing.assert_allclose(probs_m, probs_1, atol=1e-5)
+    np.testing.assert_array_equal(labels_m, labels_1)
+
+    import pytest
+    with pytest.raises(ValueError):
+        Predictor.from_checkpoint(tiny_config, path, batch_size=6, mesh=mesh)
