@@ -26,8 +26,6 @@ TPU-first design (completes the §2.0 attention-path fusion):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
