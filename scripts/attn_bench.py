@@ -46,6 +46,26 @@ def main():
     t = timeit(ours_grad, q, k, v)
     print(f"ours  f+b : {t*1e3:6.2f}ms")
 
+    # bnhd layout (all-heads-per-program kernel, what the fused attention
+    # path feeds) on the same problem.
+    qn, kn, vn = (jnp.asarray(np.asarray(x.transpose(0, 2, 1, 3)))
+                  for x in (q, k, v))
+
+    @jax.jit
+    def bnhd_fwd(q, k, v):
+        return ours(q, k, v, scale=scale, layout="bnhd")
+
+    @jax.jit
+    def bnhd_grad(q, k, v):
+        return jax.grad(lambda q, k, v: jnp.sum(
+            ours(q, k, v, scale=scale, layout="bnhd").astype(jnp.float32)
+            ** 2), argnums=(0, 1, 2))(q, k, v)
+
+    t = timeit(bnhd_fwd, qn, kn, vn)
+    print(f"bnhd  fwd : {t*1e3:6.2f}ms  {FLOPS_FWD/t/1e12:6.1f} TF/s")
+    t = timeit(bnhd_grad, qn, kn, vn)
+    print(f"bnhd  f+b : {t*1e3:6.2f}ms")
+
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         flash_attention as lib)
 
