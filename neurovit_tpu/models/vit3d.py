@@ -287,14 +287,28 @@ def _attention_residual(block: dict, x: jax.Array, cfg: ViTConfig, *,
     residual pass touches HBM. Falls back to the XLA composition when the
     kernels don't apply (non-pallas impl, identity out-proj, CPU dropout)."""
     if cfg.impl == "pallas" and cfg.project_out:
+        import os
+
         from neurovit_tpu.ops import fused_outproj, fused_qkv
         from neurovit_tpu.ops.flash_attention import flash_attention
         if fused_outproj.supports(cfg.dropout, deterministic):
             b, n, _ = x.shape
             drop_rngs = (jax.random.split(rng, 2) if rng is not None
                          else (None, None))
-            q, k, v = fused_qkv.fused_ln_qkv(block, x, cfg.heads,
-                                             cfg.dim_head)
+            if os.environ.get("NEUROVIT_QKV_IMPL", "pallas") == "xla":
+                # A/B variant: XLA LN + einsum straight to the bnhe layout.
+                normed = nn.layer_norm(block["attn_norm"], x)
+                wqkv = block["qkv"]["kernel"].astype(normed.dtype).reshape(
+                    cfg.dim, 3, cfg.heads, cfg.dim_head)
+                prec = nn.matmul_precision(normed.dtype)
+                q, k, v = (
+                    jnp.einsum("bnd,dhe->bnhe", normed, wqkv[:, i],
+                               preferred_element_type=jnp.float32,
+                               precision=prec).astype(normed.dtype)
+                    for i in range(3))
+            else:
+                q, k, v = fused_qkv.fused_ln_qkv(block, x, cfg.heads,
+                                                 cfg.dim_head)
             rate = 0.0 if deterministic else cfg.dropout
             out = flash_attention(q, k, v, scale=cfg.dim_head ** -0.5,
                                   dropout_rate=rate,
