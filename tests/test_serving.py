@@ -57,3 +57,23 @@ def test_predictor_mesh_parallel_matches_single_device(tiny_config, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         Predictor.from_checkpoint(tiny_config, path, batch_size=6, mesh=mesh)
+
+
+def test_predictor_4d(tiny_config, tmp_path):
+    """Serving the 4D model ([N, H, W, D, T] sequences)."""
+    from neurovit_tpu.training import state_dict as sd
+
+    config = dict(tiny_config)
+    config.update({"TRAINING_DIM": 4, "DATASET_NAME": "adni",
+                   "TRAINING_DROPOUT": 0.0})
+    model = NeuroEncoder(config)
+    variables = model.init(jax.random.key(7))
+    path = str(tmp_path / "model4d.pkl")
+    sd.save(path, sd.to_state_dict(model, variables["params"]))
+
+    predictor = Predictor.from_checkpoint(config, path, batch_size=2, seed=7)
+    vols = np.random.RandomState(2).randn(3, 20, 20, 20, 4).astype(np.float32)
+    labels, probs = predictor(vols)
+    assert labels.shape == (3,)
+    assert probs.shape == (3, 2)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
