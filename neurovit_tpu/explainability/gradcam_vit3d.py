@@ -52,9 +52,17 @@ def _attention_map_jit(model, params: Dict, x: jax.Array,
     cs = grid // patch
     cam = cam.reshape(b, cs, cs, cs)
     cam = jax.nn.relu(cam)
-    cam = (cam - cam.min()) / (cam.max() - cam.min() + 1e-8)   # (…:120)
+    # All normalization reductions are PER SAMPLE: the reference runs with
+    # B=1 (NeuroEncoder.py:118-123), so its global min/max/percentile ARE
+    # per-sample — a batched call must not couple samples through shared
+    # statistics.
+    cam_min = cam.min(axis=(1, 2, 3), keepdims=True)
+    cam_max = cam.max(axis=(1, 2, 3), keepdims=True)
+    cam = (cam - cam_min) / (cam_max - cam_min + 1e-8)         # (…:120)
     # Keep the top `threshold`% voxels (np.percentile(cam, 100-t), …:121-123).
-    threshold_value = jnp.percentile(cam, 100.0 - threshold)
+    flat = cam.reshape(b, -1)
+    threshold_value = jnp.percentile(flat, 100.0 - threshold,
+                                     axis=1)[:, None, None, None]
     cam = jnp.where(cam >= threshold_value, cam, 0.0)
     # Trilinear upsample with half-pixel centers == F.interpolate(mode=
     # 'trilinear', align_corners=False) (…:126-131).

@@ -379,7 +379,9 @@ def apply(params: dict, volume: jax.Array, cfg: ViTConfig, *,
     LayerNorm output inside the *last* attention block (the reference's
     Grad-CAM hook target, NeuroEncoder.py:70-82). Pass ``probe_shift`` (zeros
     of shape [B, N+1, dim]) and differentiate w.r.t. it to obtain the hook
-    gradients via jax.vjp.
+    gradients via jax.vjp. Without a ``probe_shift`` the probe is ``None``
+    and the last block takes the fused attention path like every other
+    block (no observable-LN tax during plain training).
     """
     x = _patch_embed(params["patch_embed"], volume.astype(compute_dtype), cfg)
 
@@ -435,15 +437,23 @@ def apply(params: dict, volume: jax.Array, cfg: ViTConfig, *,
         x, _ = jax.lax.scan(body, x, (scan_blocks, scan_rngs),
                             unroll=True)
 
+    # The probe (and its unfused XLA attention composition) is only paid when
+    # a caller actually asked for it: the Grad-CAM path always passes a
+    # probe_shift (explainability/gradcam_vit3d.py:36-40). Plain training
+    # runs the last block through the fused path like every other block —
+    # the reference's hooks likewise cost nothing unless backward() is
+    # driven through them (NeuroEncoder.py:70-82).
     last_block = jax.tree.map(lambda p: p[cfg.depth - 1], params["blocks"])
     x, probe_act = _block_apply(
         last_block, x, cfg, deterministic=deterministic,
         rng=rngs[cfg.depth] if rngs is not None else None,
-        probe_shift=probe_shift, n_valid=attn_n_valid, need_probe=True)
+        probe_shift=probe_shift, n_valid=attn_n_valid,
+        need_probe=probe_shift is not None)
 
     if pad_stream:
         x = x[:, :n_valid]
-        probe_act = probe_act[:, :n_valid]
+        if probe_act is not None:
+            probe_act = probe_act[:, :n_valid]
 
     pooled = jnp.mean(x, axis=1) if cfg.pool == "mean" else x[:, 0]
     pooled = nn.layer_norm(params["head"]["norm"], pooled)

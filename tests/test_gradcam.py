@@ -45,6 +45,25 @@ def test_probe_gradient_nonzero(tiny_config):
     assert float(jnp.sum(jnp.abs(g))) > 0.0
 
 
+def test_batched_cam_matches_per_sample(tiny_config):
+    """Batched CAM must normalize per sample: each map in a B=2 call equals
+    the same sample's B=1 map (the reference is B=1-only, so its global
+    min/max/percentile are per-sample by construction)."""
+    config = dict(tiny_config, GRADCAM_TRAIN_PATH=None, GRADCAM_VAL_PATH=None)
+    ds = GradCAMDataset(config, "val")
+    model = NeuroEncoder(config)
+    variables = model.init(jax.random.key(0))
+    v0, v1 = ds.sample(0)["volume"], ds.sample(1)["volume"]
+
+    batch = np.stack([v0, v1])
+    cam_b, idx_b = get_attention_map(model, variables, batch)
+    assert cam_b.shape == (2,) + v0.shape
+    for i, v in enumerate((v0, v1)):
+        cam_1, idx_1 = get_attention_map(model, variables, v)
+        assert int(idx_b[i]) == int(idx_1[0])
+        np.testing.assert_allclose(cam_b[i], cam_1, rtol=1e-4, atol=1e-5)
+
+
 def test_visualize_slice_dims(tiny_config):
     cam = np.random.RandomState(0).rand(20, 20, 20)
     vol = np.random.RandomState(1).rand(20, 20, 20)

@@ -19,8 +19,13 @@ def test_padded_stream_matches_xla():
     params = vit3d.init(jax.random.key(0), _cfg("xla"))
     vol = jnp.asarray(np.random.RandomState(0).randn(2, 1, 20, 20, 20),
                       jnp.float32)
-    logits_x, probe_x = vit3d.apply(params, vol, _cfg("xla"))
-    logits_p, probe_p = vit3d.apply(params, vol, _cfg("pallas"))
+    # Request the probe explicitly (zeros shift): training-mode calls get
+    # probe=None and the fused last block instead.
+    shift = jnp.zeros((2, 65, 64), jnp.float32)
+    logits_x, probe_x = vit3d.apply(params, vol, _cfg("xla"),
+                                    probe_shift=shift)
+    logits_p, probe_p = vit3d.apply(params, vol, _cfg("pallas"),
+                                    probe_shift=shift)
     assert probe_p.shape == probe_x.shape == (2, 65, 64)
     np.testing.assert_allclose(np.asarray(logits_p), np.asarray(logits_x),
                                rtol=2e-3, atol=2e-3)

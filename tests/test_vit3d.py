@@ -33,7 +33,12 @@ def test_forward_shapes():
     x = jnp.zeros((2, 1, 16, 16, 16))
     logits, probe = vit3d.apply(params, x, CFG)
     assert logits.shape == (2, 8)
+    assert probe is None  # no probe_shift -> no Grad-CAM probe tax
+    shift = jnp.zeros((2, CFG.num_patches + 1, CFG.dim))
+    logits_probed, probe = vit3d.apply(params, x, CFG, probe_shift=shift)
     assert probe.shape == (2, CFG.num_patches + 1, CFG.dim)
+    np.testing.assert_allclose(np.asarray(logits_probed), np.asarray(logits),
+                               rtol=1e-5, atol=1e-5)
 
 
 def _tiny_model_config():
