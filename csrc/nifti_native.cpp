@@ -44,7 +44,20 @@ struct NiftiHandle {
   int64_t vox_offset = 0;
   float scl_slope = 1.0f;
   float scl_inter = 0.0f;
+  // Lifetime: the cache owns one reference; every in-flight read holds one
+  // more. nvt_clear_cache only drops the cache's reference, so a reader
+  // thread that raced past the cache lookup keeps its mmap alive until its
+  // release — no use-after-free when clear runs concurrently with batch
+  // reads.
+  std::atomic<int> refs{1};
 };
+
+void release_handle(NiftiHandle* h) {
+  if (h->refs.fetch_sub(1, std::memory_order_acq_rel) == 1) {
+    munmap(h->map, h->map_size);
+    delete h;
+  }
+}
 
 std::shared_mutex g_cache_mu;
 std::map<std::string, NiftiHandle*> g_cache;
@@ -90,17 +103,26 @@ bool parse_header(const uint8_t* h, NiftiHandle* out) {
   return true;
 }
 
+// Returns the handle with an extra reference held for the caller (the
+// increment happens under the cache lock, while the cache's own reference
+// still pins the handle). Callers must release_handle() when done.
 NiftiHandle* open_handle(const char* path) {
   {
     // Hot path: cached handles need only a shared (read) lock — the batch
     // reader's worker threads must not serialize on the cache.
     std::shared_lock<std::shared_mutex> rlock(g_cache_mu);
     auto it = g_cache.find(path);
-    if (it != g_cache.end()) return it->second;
+    if (it != g_cache.end()) {
+      it->second->refs.fetch_add(1, std::memory_order_relaxed);
+      return it->second;
+    }
   }
   std::unique_lock<std::shared_mutex> wlock(g_cache_mu);
   auto it = g_cache.find(path);
-  if (it != g_cache.end()) return it->second;
+  if (it != g_cache.end()) {
+    it->second->refs.fetch_add(1, std::memory_order_relaxed);
+    return it->second;
+  }
 
   int fd = ::open(path, O_RDONLY);
   if (fd < 0) return nullptr;
@@ -118,7 +140,8 @@ NiftiHandle* open_handle(const char* path) {
     delete handle;
     return nullptr;
   }
-  g_cache[path] = handle;
+  g_cache[path] = handle;                  // cache's reference (refs == 1)
+  handle->refs.fetch_add(1, std::memory_order_relaxed);  // caller's
   return handle;
 }
 
@@ -154,21 +177,9 @@ void gather_box(const T* vol, const int64_t* dims, const int64_t* lo,
   }
 }
 
-}  // namespace
-
-extern "C" {
-
-// Read one cropped timepoint into `out` (C-order [Z, Y, X] of the cropped
-// box — the caller exposes it as the [X, Y, Z] transpose view, matching
-// numpy's dataobj[x0:x1, y0:y1, z0:z1, t] values with zero-copy).
-// zscore: 0 = raw, 1 = (v - mean) / (std + 1e-8)  (ADNI, DatasetADNI.py:213),
-//         2 = (v - mean) / (std > 0 ? std : 1)    (Pain, DatasetPain.py:192).
-// Returns 0 on success, negative error codes otherwise.
-int nvt_read_timepoint(const char* path, int64_t t,
-                       int64_t x0, int64_t x1, int64_t y0, int64_t y1,
-                       int64_t z0, int64_t z1, int zscore, float* out) {
-  NiftiHandle* h = open_handle(path);
-  if (!h) return -1;
+int read_timepoint_locked(NiftiHandle* h, int64_t t,
+                          int64_t x0, int64_t x1, int64_t y0, int64_t y1,
+                          int64_t z0, int64_t z1, int zscore, float* out) {
   const int64_t nx = h->dims[0], ny = h->dims[1], nz = h->dims[2];
   const int64_t nt = h->ndim >= 4 ? h->dims[3] : 1;
   // Negative-from-end semantics for the crop bounds.
@@ -241,6 +252,27 @@ int nvt_read_timepoint(const char* path, int64_t t,
   return 0;
 }
 
+}  // namespace
+
+extern "C" {
+
+// Read one cropped timepoint into `out` (C-order [Z, Y, X] of the cropped
+// box — the caller exposes it as the [X, Y, Z] transpose view, matching
+// numpy's dataobj[x0:x1, y0:y1, z0:z1, t] values with zero-copy).
+// zscore: 0 = raw, 1 = (v - mean) / (std + 1e-8)  (ADNI, DatasetADNI.py:213),
+//         2 = (v - mean) / (std > 0 ? std : 1)    (Pain, DatasetPain.py:192).
+// Returns 0 on success, negative error codes otherwise.
+int nvt_read_timepoint(const char* path, int64_t t,
+                       int64_t x0, int64_t x1, int64_t y0, int64_t y1,
+                       int64_t z0, int64_t z1, int zscore, float* out) {
+  NiftiHandle* h = open_handle(path);  // holds a reference for this read
+  if (!h) return -1;
+  const int rc = read_timepoint_locked(h, t, x0, x1, y0, y1, z0, z1,
+                                       zscore, out);
+  release_handle(h);
+  return rc;
+}
+
 // Batch fan-out over a thread pool. paths: n C-strings; out: n contiguous
 // sample buffers of `sample_floats` each. Returns count of failures.
 int nvt_read_batch(const char** paths, const int64_t* timepoints, int64_t n,
@@ -268,13 +300,12 @@ int nvt_read_batch(const char** paths, const int64_t* timepoints, int64_t n,
   return failures.load();
 }
 
-// Drop all cached mmaps (tests / long-running processes).
+// Drop all cached mmaps (tests / long-running processes). Only the cache's
+// reference is released: a handle still pinned by an in-flight read stays
+// mapped until that reader's release_handle, then frees itself.
 void nvt_clear_cache() {
   std::unique_lock<std::shared_mutex> lock(g_cache_mu);
-  for (auto& kv : g_cache) {
-    munmap(kv.second->map, kv.second->map_size);
-    delete kv.second;
-  }
+  for (auto& kv : g_cache) release_handle(kv.second);
   g_cache.clear();
 }
 

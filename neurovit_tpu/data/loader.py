@@ -45,18 +45,20 @@ def zyx_base(v) -> Any:
     return None
 
 
-def stack_volumes(vals) -> np.ndarray:
+def stack_volumes(vals):
     """np.stack for volumes that keeps z-major batches zero-transpose.
 
-    Result always indexes as [B, X, Y, Z]; when every input is a z-major
-    view the returned array is itself a transpose view of a C-contiguous
-    [B, Z, Y, X] buffer, which the trainer ships to the device raw (the
-    layout transpose happens device-side, fused into the input cast).
+    Returns ``(batch, zyx)``. The batch always indexes as [B, X, Y, Z]; when
+    every input is a z-major view (zyx=True) the returned array is itself a
+    transpose view of a C-contiguous [B, Z, Y, X] buffer, which the trainer
+    ships to the device raw (the layout transpose happens device-side, fused
+    into the input cast). The bool is the loader's explicit layout statement
+    — consumers must trust it rather than re-sniffing array flags.
     """
     bases = [zyx_base(np.asarray(v)) for v in vals]
     if all(b is not None for b in bases):
-        return np.stack(bases).transpose(0, 3, 2, 1)
-    return np.stack([np.asarray(v) for v in vals])
+        return np.stack(bases).transpose(0, 3, 2, 1), True
+    return np.stack([np.asarray(v) for v in vals]), False
 
 
 class DataLoader:
@@ -74,6 +76,7 @@ class DataLoader:
         # a failed/None sample read is retried before being skipped+masked.
         self.retries = retries
         self.epoch = 0
+        self._native_read_failed = False
 
     def _fetch(self, idx):
         for attempt in range(self.retries + 1):
@@ -114,7 +117,7 @@ class DataLoader:
         for key in samples[0]:
             vals = [s[key] for s in samples]
             if key == "volume":
-                batch[key] = stack_volumes(vals)
+                batch[key], batch["zyx"] = stack_volumes(vals)
             elif key in ARRAY_FIELDS:
                 batch[key] = np.stack([np.asarray(v) for v in vals])
             else:
@@ -134,6 +137,11 @@ class DataLoader:
         meta = getattr(self.dataset, "sample_meta", None)
         if read_batch is None or meta is None or len(idxs) != self.batch_size:
             return None
+        if self._native_read_failed:
+            # A previous batch already fell back (e.g. a persistently bad
+            # file): skip straight to the per-sample path instead of paying
+            # the whole-batch read + full re-read every batch.
+            return None
         try:
             vols = read_batch(idxs, n_threads=self.num_workers)
             if vols is None:
@@ -143,17 +151,28 @@ class DataLoader:
             # Keep per-sample fault tolerance: a bad row (e.g. unparseable
             # metadata) falls back to the per-sample path, where dataset
             # error handling + retry + valid-masking apply.
-            print(f"Batched read failed ({e}); falling back to per-sample")
+            print(f"Batched read failed ({e}); falling back to per-sample "
+                  f"reads for the rest of this loader")
+            self._native_read_failed = True
             return None
         batch: Dict[str, Any] = {}
         for key in metas[0]:
             vals = [m[key] for m in metas]
             batch[key] = (np.stack(vals) if key in ARRAY_FIELDS else vals)
         batch["volume"] = vols
+        # The native reader's contract is a [B, X, Y, Z] transpose view of a
+        # C-contiguous z-major buffer (adni.read_batch_volumes); state it
+        # explicitly so the trainer doesn't have to sniff array flags.
+        batch["zyx"] = True
         batch["valid"] = np.ones(self.batch_size, np.bool_)
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        # Give the native fast path one fresh chance per epoch: a transient
+        # failure costs at most the rest of one epoch on the per-sample path,
+        # while a persistently bad file doesn't trigger whole-batch re-reads
+        # (double I/O) on every single batch.
+        self._native_read_failed = False
         order = self._index_order()
         n_batches = len(self)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

@@ -27,14 +27,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh,
                 replicate: bool = False) -> Dict[str, Any]:
-    """device_put array fields of a host batch with batch-dim sharding
-    (or replicated, e.g. 4D mode where the model shards the folded B*T
-    stream itself)."""
+    """Place the array fields of a host batch on the mesh with batch-dim
+    sharding (or replicated, e.g. 4D mode where the model shards the folded
+    B*T stream itself).
+
+    Single-process: plain device_put. Multi-process (pod): each host's batch
+    is its process-LOCAL rows, assembled into the global batch-sharded array
+    via ``jax.make_array_from_process_local_data`` — a plain device_put
+    there would treat every host's local batch as the identical global
+    array (wrong batches, wrong gradients).
+    """
     sharding = replicated(mesh) if replicate else batch_sharding(mesh)
+    multiprocess = jax.process_count() > 1
+    if multiprocess and replicate:
+        # Replicated placement has no well-defined multi-host meaning when
+        # each process loaded different rows; refuse loudly rather than
+        # train on silently host-divergent "replicated" batches. (4D
+        # multi-host wants the outer batch sharded over hosts instead.)
+        raise NotImplementedError(
+            "replicate=True batches are single-host only: on a multi-process "
+            "mesh each host holds different local rows, so a replicated "
+            "device_put would silently disagree across hosts")
     out = {}
     for key, value in batch.items():
         if hasattr(value, "shape") and getattr(value, "ndim", 0) >= 1:
-            out[key] = jax.device_put(value, sharding)
+            if multiprocess:
+                out[key] = jax.make_array_from_process_local_data(
+                    sharding, value)
+            else:
+                out[key] = jax.device_put(value, sharding)
         else:
             out[key] = value
     return out

@@ -34,13 +34,17 @@ class Predictor:
         self.batch_size = batch_size
         self.mesh = mesh
         if mesh is not None:
+            from neurovit_tpu.parallel.mesh import DATA_AXIS
             from neurovit_tpu.parallel.sharding import replicated
-            if batch_size % mesh.shape["data"] != 0:
+            if batch_size % mesh.shape[DATA_AXIS] != 0:
                 raise ValueError(
                     f"batch_size {batch_size} must divide over the mesh "
-                    f"data axis ({mesh.shape['data']})")
+                    f"{DATA_AXIS} axis ({mesh.shape[DATA_AXIS]})")
+            # Replicate in place: extra entries a caller passed alongside
+            # params/state survive untouched.
             rep = replicated(mesh)
             self.variables = {
+                **variables,
                 "params": jax.device_put(variables["params"], rep),
                 "state": jax.device_put(variables["state"], rep),
             }

@@ -348,13 +348,25 @@ class Trainer:
         loader.stack_volumes) are shipped as their raw C-contiguous
         [B, Z, Y, X] buffer — ``np.asarray`` on the [B, X, Y, Z] view would
         re-transpose every volume on the host, forfeiting the z-major read
-        win; the jitted steps transpose on device instead."""
+        win; the jitted steps transpose on device instead.
+
+        The layout decision is the loader's explicit ``batch["zyx"]`` flag
+        (the loader knows which layout it produced); the array-flag sniff
+        below is only a tripwire for an upstream copy/transform that changed
+        the memory layout without updating the flag — that would silently
+        feed transposed volumes to the model, so it's a hard error."""
         from neurovit_tpu.parallel.mesh import DATA_AXIS
         vol = batch["volume"]
-        zyx = (not self.model.is_4d and getattr(vol, "ndim", 0) == 4
-               and vol.dtype == np.float32 and vol.base is not None
-               and vol.transpose(0, 3, 2, 1).flags.c_contiguous
-               and not vol.flags.c_contiguous)
+        zyx = bool(batch.get("zyx", False)) and not self.model.is_4d
+        if zyx:
+            looks_zyx = (getattr(vol, "ndim", 0) == 4
+                         and vol.dtype == np.float32 and vol.base is not None
+                         and vol.transpose(0, 3, 2, 1).flags.c_contiguous
+                         and not vol.flags.c_contiguous)
+            assert looks_zyx, (
+                "batch['zyx'] is set but the volume is not a z-major "
+                "transpose view — an upstream copy/transform changed the "
+                "memory layout after the loader produced the batch")
         out = {
             "volume": (vol.transpose(0, 3, 2, 1) if zyx
                        else np.asarray(vol, np.float32)),

@@ -23,7 +23,8 @@ def test_stack_volumes_zero_copy_and_values():
     raws = [np.ascontiguousarray(rng.randn(7, 6, 5).astype(np.float32))
             for _ in range(4)]
     views = [r.transpose(2, 1, 0) for r in raws]          # [X, Y, Z] views
-    out = stack_volumes(views)
+    out, zyx = stack_volumes(views)
+    assert zyx
     assert out.shape == (4, 5, 6, 7)
     # Zero-copy: the result is itself a transpose view of a C-contig buffer.
     assert not out.flags.c_contiguous
@@ -32,7 +33,8 @@ def test_stack_volumes_zero_copy_and_values():
 
     # Mixed/plain inputs take the plain np.stack path.
     plain = [np.ascontiguousarray(v) for v in views]
-    out2 = stack_volumes(plain)
+    out2, zyx2 = stack_volumes(plain)
+    assert not zyx2
     assert out2.flags.c_contiguous
     np.testing.assert_array_equal(out2, out)
     assert zyx_base(plain[0]) is None
@@ -115,6 +117,35 @@ def test_train_step_zyx_matches_plain(tiny_config, tmp_path):
     l1 = jax_leaf_checksum(ts1["params"])
     l2 = jax_leaf_checksum(ts2["params"])
     assert l1 == pytest.approx(l2, rel=1e-6)
+
+
+def test_zyx_flag_is_the_decision(tiny_config, tmp_path):
+    """The trainer follows the loader's explicit zyx flag, not array-flag
+    sniffing; a layout-changing upstream copy that contradicts the flag is a
+    hard error (tripwire), never silently-transposed inputs."""
+    csv_path = _adni_corpus(tmp_path)
+    np.random.seed(0)
+    config = _adni_config(tiny_config, tmp_path, csv_path)
+    ds_train, ds_val = get_datasets(config)
+    trainer = Trainer(config, NeuroEncoder(config), ds_train, ds_val)
+
+    batch = next(iter(trainer.dataloader))
+    assert batch["zyx"]
+
+    # Flag cleared upstream -> the (already z-major-viewed) volume is shipped
+    # via np.asarray: correct values, just a host-side transpose cost.
+    host_plain, zyx_plain = trainer._device_batch(dict(batch, zyx=False))
+    assert not zyx_plain
+    host_fast, zyx_fast = trainer._device_batch(batch)
+    assert zyx_fast
+    np.testing.assert_array_equal(
+        host_plain["volume"], host_fast["volume"].transpose(0, 3, 2, 1))
+
+    # A contiguity-changing transform (copy to C-order) without updating the
+    # flag would feed transposed volumes to the model -> tripwire fires.
+    copied = dict(batch, volume=np.ascontiguousarray(batch["volume"]))
+    with pytest.raises(AssertionError, match="zyx"):
+        trainer._device_batch(copied)
 
 
 def jax_leaf_checksum(params):
