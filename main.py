@@ -119,8 +119,8 @@ def main():
         dataset_train, dataset_val, model, variables = build(config)
         best = os.path.join(config["GLOBAL_BASE_PATH"],
                             config["BEST_MODEL_PATH"])
-        variables["params"] = ckpt.load_state_dict_file(
-            model, variables["params"], best, strict=False)
+        variables = ckpt.load_variables_file(model, variables, best,
+                                             strict=False)
         trainer = Trainer(config, model, dataset_train, dataset_val,
                           variables=variables)
         trainer.evaluate_samples()

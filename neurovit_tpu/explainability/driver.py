@@ -124,8 +124,8 @@ def main(argv: List[str] = None) -> None:
     variables = model.init(jax.random.key(config["TRAINING_SEED"]))
     best = os.path.join(config["GLOBAL_BASE_PATH"], config["BEST_MODEL_PATH"])
     if os.path.exists(best):
-        variables["params"] = ckpt.load_state_dict_file(
-            model, variables["params"], best, strict=False)
+        variables = ckpt.load_variables_file(model, variables, best,
+                                             strict=False)
     _, dataset = get_datasets(config)
     ids = list(range(12))
     create_gradcam_plot(model, variables, dataset, ids, config,

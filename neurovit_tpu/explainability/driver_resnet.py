@@ -85,12 +85,10 @@ def main(argv: List[str] = None) -> None:
     variables = model.init(jax.random.key(config["TRAINING_SEED"]))
     best = os.path.join(config["GLOBAL_BASE_PATH"], config["BEST_MODEL_PATH"])
     if os.path.exists(best):
-        try:
-            variables["params"] = ckpt.load_state_dict_file(
-                model, variables["params"], best, strict=False)
-        except NotImplementedError:
-            print("NOTE: state-dict interop is ViT-only; using random "
-                  "resnet weights")
+        # Loads the reference's resnet checkpoint layout (conv OIDHW + BN
+        # running stats) into params + state (state_dict._resnet_entries).
+        variables = ckpt.load_variables_file(model, variables, best,
+                                             strict=False)
     _, dataset = get_datasets(config)
     create_resnet_cam_plot(model, variables, dataset, list(range(12)), config,
                            save_nifti=config["GRADCAM_SAVE_ATTENTION"])

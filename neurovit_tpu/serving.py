@@ -68,8 +68,8 @@ class Predictor:
         variables = model.init(
             jax.random.key(seed if seed is not None
                            else config.get("TRAINING_SEED", 42)))
-        variables["params"] = ckpt.load_state_dict_file(
-            model, variables["params"], checkpoint_path, strict=False)
+        variables = ckpt.load_variables_file(model, variables,
+                                             checkpoint_path, strict=False)
         return cls(model, variables, batch_size, mesh=mesh)
 
     def __call__(self, volumes: np.ndarray

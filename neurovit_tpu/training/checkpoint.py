@@ -35,11 +35,9 @@ def save_train_state(path: str, train_state: Dict[str, Any], model) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with ocp.StandardCheckpointer() as cp:
         cp.save(path, _serializable(train_state), force=True)
-    try:
-        sd.save(path + ".state_dict.pkl",
-                sd.to_state_dict(model, train_state["params"]))
-    except NotImplementedError:
-        pass  # resnet encoder: orbax checkpoint only
+    sd.save(path + ".state_dict.pkl",
+            sd.to_state_dict(model, train_state["params"],
+                             train_state.get("model_state")))
 
 
 def load_train_state(path: str, train_state_like: Dict[str, Any]
@@ -64,10 +62,8 @@ def save_last_model(train_state: Dict[str, Any], model,
                     path: str = LAST_MODEL_PATH) -> None:
     """Rolling weights-only save (reference Trainer.py:54)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    try:
-        sd.save(path, sd.to_state_dict(model, train_state["params"]))
-    except NotImplementedError:
-        pass
+    sd.save(path, sd.to_state_dict(model, train_state["params"],
+                                   train_state.get("model_state")))
 
 
 def load_pretrained_volume_encoder(model, params: Dict[str, Any],
@@ -83,5 +79,15 @@ def load_pretrained_volume_encoder(model, params: Dict[str, Any],
 
 def load_state_dict_file(model, params: Dict[str, Any], path: str,
                          strict: bool = False) -> Dict[str, Any]:
-    """--inference weight load (reference main.py:163-170, strict=False)."""
+    """--inference weight load (reference main.py:163-170, strict=False).
+    Params-only (ViT); resnet checkpoints carry BN running stats too — use
+    ``load_variables_file``."""
     return sd.load_into(model, params, sd.load(path), strict=strict)
+
+
+def load_variables_file(model, variables: Dict[str, Any], path: str,
+                        strict: bool = False) -> Dict[str, Any]:
+    """Weight load into full {"params", "state"} variables — works for both
+    encoder kinds (resnet BN running stats land in the state subtree)."""
+    return sd.load_into_variables(model, variables, sd.load(path),
+                                  strict=strict)

@@ -101,64 +101,141 @@ def _temporal_entries() -> List[Entry]:
     ]
 
 
+def _bn_entries(torch_prefix: str, p_path: Tuple, s_path: Tuple
+                ) -> List[Entry]:
+    """BatchNorm3d: affine params + running stats (state subtree).
+    ``num_batches_tracked`` is synthesized on export / ignored on import."""
+    return [
+        (f"{torch_prefix}.weight", p_path + ("scale",), False),
+        (f"{torch_prefix}.bias", p_path + ("bias",), False),
+        (f"{torch_prefix}.running_mean", s_path + ("mean",), False),
+        (f"{torch_prefix}.running_var", s_path + ("var",), False),
+    ]
+
+
+def _resnet_entries(cfg, prefix: str = "resnet_3d.resnet.") -> List[Entry]:
+    """3D ResNet entries over the combined {"params", "state"} tree.
+
+    Torch key names follow the reference's Kensho-Hara module layout
+    (``src/models/resnet_3d.py:116-176``: conv1/bn1, layer{1..4}.{b} blocks
+    with conv{1,2[,3]}/bn{1,2[,3]}/downsample.{0,1}, fc) under the older-
+    revision NeuroEncoder attribute path the explainability scripts load
+    (``model.resnet_3d.resnet``, xAi_gradcam_Resnet3D/gradcam.py:29).
+    Conv kernels are OIDHW on both sides — no transpose; Linear transposes.
+    """
+    pv = ("params", "volume_encoder")
+    sv = ("state", "volume_encoder")
+    e: List[Entry] = [(f"{prefix}conv1.weight", pv + ("conv1", "kernel"), False)]
+    e += _bn_entries(f"{prefix}bn1", pv + ("bn1",), sv + ("bn1",))
+    n_convs = 2 if cfg.block_kind == "basic" else 3
+    in_planes = cfg.stage_planes[0]
+    for s in range(4):
+        planes = cfg.stage_planes[s]
+        out_planes = planes * cfg.expansion
+        for b in range(cfg.stage_blocks[s]):
+            stride = 2 if (s > 0 and b == 0) else 1
+            tp = f"{prefix}layer{s + 1}.{b}."
+            pb = pv + (f"layer{s + 1}", b)
+            sb = sv + (f"layer{s + 1}", b)
+            for c in range(1, n_convs + 1):
+                e.append((f"{tp}conv{c}.weight",
+                          pb + (f"conv{c}", "kernel"), False))
+                e += _bn_entries(f"{tp}bn{c}", pb + (f"bn{c}",),
+                                 sb + (f"bn{c}",))
+            if (stride != 1 or in_planes != out_planes) \
+                    and cfg.shortcut_type == "B":
+                e.append((f"{tp}downsample.0.weight",
+                          pb + ("ds_conv", "kernel"), False))
+                e += _bn_entries(f"{tp}downsample.1", pb + ("ds_bn",),
+                                 sb + ("ds_bn",))
+            in_planes = out_planes
+    e += [(f"{prefix}fc.weight", pv + ("fc", "kernel"), True),
+          (f"{prefix}fc.bias", pv + ("fc", "bias"), False)]
+    return e
+
+
 def _model_entries(model) -> List[Entry]:
-    """Entries for a NeuroEncoder's full pytree (ViT encoder kind)."""
-    if model.encoder_kind != "vit":
-        raise NotImplementedError(
-            "state-dict interop is defined for the ViT encoder "
-            "(the reference's resnet wiring is vestigial, NeuroEncoder.py:21)")
-    entries = [(k, ("volume_encoder",) + path, t)
-               for k, path, t in _vit_entries(model.vit_cfg.depth,
-                                              model.vit_cfg.project_out)]
+    """Entries for a NeuroEncoder's combined {"params", "state"} tree."""
+    if model.encoder_kind == "resnet":
+        entries = _resnet_entries(model.resnet_cfg)
+    else:
+        entries = [(k, ("params", "volume_encoder") + path, t)
+                   for k, path, t in _vit_entries(model.vit_cfg.depth,
+                                                  model.vit_cfg.project_out,
+                                                  prefix="volume_encoder.vit3d.")]
     if model.is_4d:
-        entries += _temporal_entries()
+        entries += [(k, ("params",) + path, t)
+                    for k, path, t in _temporal_entries()]
     return entries
 
 
 def _tree_get(tree, path):
     node = tree
-    block_idx = None
-    for p in path:
-        if isinstance(p, int):
-            block_idx = p
-            continue
+    for i, p in enumerate(path):
+        if isinstance(p, int) and not isinstance(node, (list, tuple)):
+            # Stacked-depth axis of a lax.scan parameter array (ViT blocks):
+            # must be the final path component.
+            assert i == len(path) - 1
+            return node[p]
         node = node[p]
-    if block_idx is not None:
-        node = node[block_idx]
     return node
 
 
 def _tree_set(tree, path, value):
-    """Immutable set along a nested-dict path (int = stacked block index)."""
-    keys = [p for p in path if not isinstance(p, int)]
-    idxs = [p for p in path if isinstance(p, int)]
+    """Immutable set along a path of dict keys / list indices; an int hitting
+    an array leaf indexes the stacked lax.scan depth axis."""
 
-    def rec(node, depth):
-        if depth == len(keys):
-            if idxs:
-                return jnp.asarray(node).at[idxs[0]].set(jnp.asarray(value))
+    def rec(node, i):
+        if i == len(path):
             return jnp.asarray(value)
-        k = keys[depth]
+        p = path[i]
+        if isinstance(p, int) and not isinstance(node, (list, tuple)):
+            assert i == len(path) - 1
+            return jnp.asarray(node).at[p].set(jnp.asarray(value))
+        if isinstance(node, (list, tuple)):
+            new = list(node)
+            new[p] = rec(node[p], i + 1)
+            return new
         new = dict(node)
-        new[k] = rec(node[k], depth + 1)
+        new[p] = rec(node[p], i + 1)
         return new
 
     return rec(tree, 0)
 
 
-def to_state_dict(model, params: Dict[str, Any]) -> Dict[str, np.ndarray]:
-    """Export params as a torch-key flat dict (torch layouts)."""
+def _combined(model, params, model_state):
+    if model.encoder_kind == "resnet" and model_state is None:
+        raise ValueError(
+            "resnet state-dict interop needs the BN running stats: pass "
+            "model_state (the train state's 'model_state' / variables "
+            "'state' subtree)")
+    return {"params": params, "state": model_state if model_state is not None
+            else {}}
+
+
+def to_state_dict(model, params: Dict[str, Any],
+                  model_state: Optional[Dict[str, Any]] = None
+                  ) -> Dict[str, np.ndarray]:
+    """Export params (+ BN state for resnet) as a torch-key flat dict."""
+    tree = _combined(model, params, model_state)
     out = {}
     for key, path, transpose in _model_entries(model):
-        arr = np.asarray(_tree_get(params, path))
+        arr = np.asarray(_tree_get(tree, path))
         out[key] = arr.T if transpose else arr
+    # Torch BN modules also carry a step counter; synthesize it so a real
+    # torch load_state_dict(strict=True) accepts the export.
+    for key in [k for k in out if k.endswith(".running_mean")]:
+        out[key[: -len("running_mean")] + "num_batches_tracked"] = \
+            np.asarray(0, np.int64)
     return out
 
 
-def load_into(model, params: Dict[str, Any], state_dict: Dict[str, np.ndarray],
-              strict: bool = False, prefix_filter: Optional[str] = None,
-              strip_prefix: Optional[str] = None) -> Dict[str, Any]:
-    """Merge a torch-key state dict into a params pytree.
+def load_into_variables(model, variables: Dict[str, Any],
+                        state_dict: Dict[str, np.ndarray],
+                        strict: bool = False,
+                        prefix_filter: Optional[str] = None,
+                        strip_prefix: Optional[str] = None) -> Dict[str, Any]:
+    """Merge a torch-key state dict into {"params", "state"} variables.
 
     strict=False skips missing/unknown keys (reference main.py:166-170);
     ``prefix_filter``/``strip_prefix`` implement the 4D bootstrap filtering
@@ -170,9 +247,12 @@ def load_into(model, params: Dict[str, Any], state_dict: Dict[str, np.ndarray],
     if strip_prefix is not None:
         sd = {k[len(strip_prefix):] if k.startswith(strip_prefix) else k: v
               for k, v in sd.items()}
+    tree = _combined(model, variables["params"], variables.get("state"))
     entries = {k: (path, t) for k, path, t in _model_entries(model)}
     matched = set()
     for key, value in sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue  # torch BN step counter; no equivalent here
         if key not in entries:
             if strict:
                 raise KeyError(f"Unexpected key in state_dict: {key}")
@@ -181,17 +261,28 @@ def load_into(model, params: Dict[str, Any], state_dict: Dict[str, np.ndarray],
         arr = np.asarray(value)
         if transpose:
             arr = arr.T
-        expected = np.asarray(_tree_get(params, path)).shape
+        expected = np.asarray(_tree_get(tree, path)).shape
         if arr.shape != expected:
             raise ValueError(f"Shape mismatch for {key}: "
                              f"checkpoint {arr.shape} vs model {expected}")
-        params = _tree_set(params, path, arr)
+        tree = _tree_set(tree, path, arr)
         matched.add(key)
     if strict:
         missing = set(entries) - matched
         if missing:
             raise KeyError(f"Missing keys in state_dict: {sorted(missing)}")
-    return params
+    return {**variables, "params": tree["params"], "state": tree["state"]}
+
+
+def load_into(model, params: Dict[str, Any], state_dict: Dict[str, np.ndarray],
+              strict: bool = False, prefix_filter: Optional[str] = None,
+              strip_prefix: Optional[str] = None) -> Dict[str, Any]:
+    """Params-only merge (ViT encoder — no BN state). See
+    ``load_into_variables`` for the general form resnet checkpoints need."""
+    out = load_into_variables(
+        model, {"params": params, "state": None}, state_dict,
+        strict=strict, prefix_filter=prefix_filter, strip_prefix=strip_prefix)
+    return out["params"]
 
 
 def save(path: str, state_dict: Dict[str, np.ndarray]) -> None:

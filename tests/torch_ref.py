@@ -96,3 +96,67 @@ class TorchViT3D(nn.Module):
                 k = "transformer." + k
             out[prefix + k] = v.detach().numpy()
         return out
+
+
+class TorchBasicBlock3D(nn.Module):
+    """3D BasicBlock with the reference's module names (conv1/bn1/conv2/bn2/
+    downsample — src/models/resnet_3d.py:26-56)."""
+
+    def __init__(self, in_planes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv3d(in_planes, planes, 3, stride=stride,
+                               padding=1, bias=False)
+        self.bn1 = nn.BatchNorm3d(planes)
+        self.conv2 = nn.Conv3d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm3d(planes)
+        self.downsample = downsample
+
+    def forward(self, x):
+        residual = x if self.downsample is None else self.downsample(x)
+        out = torch.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return torch.relu(out + residual)
+
+
+class TorchResNet3D(nn.Module):
+    """Torch numerics oracle for the 3D ResNet (basic-block depths), with the
+    reference's exact module/state-dict layout (src/models/resnet_3d.py:
+    96-176): conv1/bn1/maxpool stem, layer1..4, avgpool, fc."""
+
+    def __init__(self, *, layers=(1, 1, 1, 1), n_classes=2,
+                 n_input_channels=1):
+        super().__init__()
+        planes = (64, 128, 256, 512)
+        self.conv1 = nn.Conv3d(n_input_channels, 64, (7, 7, 7),
+                               stride=(1, 2, 2), padding=(3, 3, 3), bias=False)
+        self.bn1 = nn.BatchNorm3d(64)
+        self.maxpool = nn.MaxPool3d(3, stride=2, padding=1)
+        in_planes = 64
+        for s, (p, n) in enumerate(zip(planes, layers)):
+            blocks = []
+            for b in range(n):
+                stride = 2 if (s > 0 and b == 0) else 1
+                downsample = None
+                if stride != 1 or in_planes != p:
+                    downsample = nn.Sequential(
+                        nn.Conv3d(in_planes, p, 1, stride=stride, bias=False),
+                        nn.BatchNorm3d(p))
+                blocks.append(TorchBasicBlock3D(in_planes, p, stride,
+                                                downsample))
+                in_planes = p
+            setattr(self, f"layer{s + 1}", nn.Sequential(*blocks))
+        self.avgpool = nn.AdaptiveAvgPool3d(1)
+        self.fc = nn.Linear(512, n_classes)
+
+    def forward(self, x):
+        x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+        for s in range(4):
+            x = getattr(self, f"layer{s + 1}")(x)
+        x = self.avgpool(x).flatten(1)
+        return self.fc(x)
+
+    def ref_state_dict(self, prefix="resnet_3d.resnet."):
+        """Keys as an older-revision reference checkpoint would carry them
+        (model.resnet_3d.resnet..., xAi_gradcam_Resnet3D/gradcam.py:29)."""
+        return {prefix + k: v.detach().numpy()
+                for k, v in self.state_dict().items()}
