@@ -183,15 +183,18 @@ class ADNIDataset:
         contiguous z-major [B, Z, Y, X] buffer filled GIL-free in C++
         (csrc nvt_read_batch), returned as the [B, X, Y, Z] transpose view.
         Skips the per-sample np.stack memcpy entirely — the loader attaches
-        this directly as the batch "volume". Returns None whenever the fast
-        path doesn't apply (transforms on, native lib absent, .gz files,
-        mixed geometries, or any read failure) — the caller falls back to
-        per-sample reads."""
+        this directly as the batch "volume". `.nii.gz` rides along via the
+        decompressed cache (nifti.readable_path). Returns None whenever the
+        fast path doesn't apply (transforms on, native lib absent, gz with
+        caching disabled, mixed geometries, or any read failure) — the
+        caller falls back to per-sample reads."""
         from neurovit_tpu.data import native_io
         if self.transforms or not self.config.get("DATA_NATIVE_IO", True):
             return None
         rows = [self.data[int(i)] for i in idxs]
-        paths = [r[2] for r in rows]
+        # .nii.gz routes through the decompressed cache (one-time inflate,
+        # then full-speed native reads — nifti.readable_path).
+        paths = [nifti.readable_path(r[2]) for r in rows]
         tps = [int(r[1]) for r in rows]
         if not all(native_io.usable_for(p) for p in paths):
             return None
@@ -239,6 +242,7 @@ class ADNIDataset:
         way (tested).
         """
         from neurovit_tpu.data import native_io
+        fmri_path = nifti.readable_path(fmri_path)  # .gz -> cached .nii
         if (self.config.get("DATA_NATIVE_IO", True)
                 and native_io.usable_for(fmri_path)):
             shape = nifti.peek_shape(fmri_path)

@@ -12,15 +12,27 @@ its own NIfTI-1 codec with the two access patterns the pipeline needs:
 - ``save(path, array)``: write a float32 NIfTI-1 file (identity affine),
   used by visualization/Grad-CAM export.
 
-Supports .nii and .nii.gz (gz decompressed to memory). Only the fields the
-pipeline touches are implemented: dims, dtype, vox_offset, scl_slope/inter.
+Supports .nii and .nii.gz. Gzip has no random access, so a naive ``.nii.gz``
+read decompresses the ENTIRE series per sample — exactly the reference's
+PainDataset eager-read hot spot (``DatasetPain.py:186-188``) on the dominant
+on-disk format. Instead, ``readable_path`` maintains a per-file decompressed
+cache: the first touch of a ``.nii.gz`` inflates it once into a scratch
+directory (atomic rename, mtime/size-keyed so stale entries are ignored);
+every later access memmaps the cached ``.nii`` like an uncompressed file —
+including the native C++ batch reader, which refuses gz but happily reads
+the cache file. Disable with ``NEUROVIT_GZ_CACHE=0`` (falls back to
+in-memory decompression per load). Only the fields the pipeline touches are
+implemented: dims, dtype, vox_offset, scl_slope/inter.
 """
 
 from __future__ import annotations
 
 import gzip
+import hashlib
+import os
 import struct
-from typing import Tuple
+import tempfile
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -90,9 +102,70 @@ def peek_shape(path: str) -> Tuple[int, ...]:
     return _parse_header(hdr)[0]
 
 
+def default_gz_cache_dir() -> str:
+    return os.environ.get(
+        "NEUROVIT_GZ_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), "neurovit_gz_cache"))
+
+
+def readable_path(path: str,
+                  cache_dir: Optional[str] = None) -> str:
+    """Random-access-capable path for ``path``.
+
+    ``.nii`` passes through. ``.nii.gz`` is inflated once into the cache
+    directory (keyed on absolute path + mtime + size, so a replaced source
+    file gets a fresh entry) and the cached ``.nii`` is returned — memmap
+    slicing and the native batch reader then work at full speed. Returns the
+    original path when caching is disabled (NEUROVIT_GZ_CACHE=0) or the
+    cache write fails (read-only scratch); callers fall back to in-memory
+    decompression.
+    """
+    if not path.endswith(".gz"):
+        return path
+    if os.environ.get("NEUROVIT_GZ_CACHE", "1") == "0":
+        return path
+    try:
+        st = os.stat(path)
+        key = hashlib.sha1(
+            f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}"
+            .encode()).hexdigest()[:16]
+        base = os.path.basename(path)[:-3]           # strip ".gz"
+        cache_dir = cache_dir or default_gz_cache_dir()
+        dst = os.path.join(cache_dir, f"{key}_{base}")
+        if os.path.exists(dst):
+            return dst
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = f"{dst}.tmp{os.getpid()}"
+        with gzip.open(path, "rb") as src, open(tmp, "wb") as out:
+            while True:
+                chunk = src.read(1 << 24)
+                if not chunk:
+                    break
+                out.write(chunk)
+        os.replace(tmp, dst)                          # atomic: racers agree
+        return dst
+    except OSError:
+        return path
+
+
+def clear_gz_cache(cache_dir: Optional[str] = None) -> None:
+    cache_dir = cache_dir or default_gz_cache_dir()
+    if not os.path.isdir(cache_dir):
+        return
+    for name in os.listdir(cache_dir):
+        try:
+            os.remove(os.path.join(cache_dir, name))
+        except OSError:
+            pass
+
+
 def load(path: str) -> NiftiImage:
-    """Load a .nii / .nii.gz file lazily (memmap for uncompressed)."""
+    """Load a .nii / .nii.gz file lazily (memmap for uncompressed; gz routes
+    through the decompressed cache so 4D series slice lazily too)."""
     if path.endswith(".gz"):
+        path = readable_path(path)
+    if path.endswith(".gz"):
+        # Cache disabled/unavailable: whole-file in-memory decompression.
         with gzip.open(path, "rb") as f:
             raw = f.read()
         shape, dtype, off, slope, inter, bo = _parse_header(raw[:_HDR_SIZE])

@@ -135,7 +135,9 @@ class PainDataset:
         if not self.config.get("DATA_NATIVE_IO", True):
             return None
         rows = [self.data[int(i)] for i in idxs]
-        paths = [r[2] for r in rows]
+        # .nii.gz routes through the decompressed cache (one-time inflate,
+        # then full-speed native reads — nifti.readable_path).
+        paths = [nifti.readable_path(r[2]) for r in rows]
         tps = [int(r[1]) for r in rows]
         if not all(native_io.usable_for(p) for p in paths):
             return None
@@ -161,6 +163,7 @@ class PainDataset:
             # semantics (std>0 guard instead of +eps, DatasetPain.py:192).
             from neurovit_tpu.data import native_io
             vol = None
+            fmri_path = nifti.readable_path(fmri_path)
             if (self.config.get("DATA_NATIVE_IO", True)
                     and native_io.usable_for(fmri_path)):
                 shape = nifti.peek_shape(fmri_path)

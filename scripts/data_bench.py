@@ -25,15 +25,15 @@ BATCH = 32
 WORKERS = 8
 
 
-def build_corpus(root):
+def build_corpus(root, suffix=".nii"):
     rng = np.random.RandomState(0)
     samples = []
     for i in range(N_FILES):
-        path = os.path.join(root, f"sub{i}.nii")
+        path = os.path.join(root, f"sub{i}{suffix}")
         nifti.save(path, rng.randn(91, 109, 91, N_T).astype(np.float32))
         for t in range(N_T):
             samples.append((f"S{i:03d}", t, path, "CN", "F", 60 + i))
-    pkl = os.path.join(root, "index.pkl")
+    pkl = os.path.join(root, f"index{suffix}.pkl")
     with open(pkl, "wb") as f:
         pickle.dump(samples, f)
     return pkl
@@ -78,8 +78,29 @@ def main():
         finally:
             native_io.usable_for = orig
         print(f"native speedup: {native/python:.2f}x")
+
+        # ---- .nii.gz corpus: decompressed cache vs per-load gunzip -------
+        pkl_gz = build_corpus(root, suffix=".nii.gz")
+        config_gz = dict(config, ADNI_TRAIN_PATH=pkl_gz, ADNI_VAL_PATH=pkl_gz)
+        ds_gz = ADNIDataset(config_gz, mode="train")
+        os.environ["NEUROVIT_GZ_CACHE_DIR"] = os.path.join(root, "gzcache")
+        nifti.clear_gz_cache()
+        t0 = time.perf_counter()
+        for p in {row[2] for row in ds_gz.data}:
+            nifti.readable_path(p)                 # one-time inflate cost
+        inflate_s = time.perf_counter() - t0
+        gz_cached = run(ds_gz, "gz (decompressed cache)")
+        print(f"  one-time inflate: {inflate_s:.2f}s for {N_FILES} files")
+        os.environ["NEUROVIT_GZ_CACHE"] = "0"
+        try:
+            gz_raw = run(ds_gz, "gz (per-load gunzip)")
+        finally:
+            del os.environ["NEUROVIT_GZ_CACHE"]
+        print(f"gz cache speedup: {gz_cached/gz_raw:.2f}x; "
+              f"cached-vs-.nii: {gz_cached/native:.2f}x")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+        nifti.clear_gz_cache()
 
 
 if __name__ == "__main__":

@@ -42,3 +42,80 @@ def test_fortran_order_matches_nibabel_convention(tmp_path):
     raw = open(path, "rb").read()
     data = np.frombuffer(raw[352:], dtype=np.float32)
     np.testing.assert_array_equal(data[:2], vol[:, 0, 0])
+
+
+def test_gz_readable_path_caches_and_memmaps(tmp_path, monkeypatch):
+    """.nii.gz inflates once into the cache dir; later loads memmap the
+    cached .nii (lazy slicing for gz series — the reference's Pain eager-read
+    hot spot, DatasetPain.py:186-188, never comes back)."""
+    monkeypatch.setenv("NEUROVIT_GZ_CACHE_DIR", str(tmp_path / "cache"))
+    series = np.random.RandomState(3).randn(6, 7, 8, 5).astype(np.float32)
+    src = str(tmp_path / "series.nii.gz")
+    nifti.save(src, series)
+
+    cached = nifti.readable_path(src)
+    assert cached.endswith(".nii") and not cached.endswith(".gz")
+    assert nifti.readable_path(src) == cached            # stable key
+    img = nifti.load(src)
+    assert isinstance(img.dataobj, np.memmap)            # lazy via the cache
+    np.testing.assert_allclose(np.asarray(img.dataobj[1:, 2:-1, 1:, 3]),
+                               series[1:, 2:-1, 1:, 3], atol=1e-6)
+
+    # A replaced source file gets a fresh cache entry (mtime/size key).
+    series2 = series + 1.0
+    nifti.save(src, series2)
+    import os
+    os.utime(src, ns=(os.stat(src).st_atime_ns,
+                      os.stat(src).st_mtime_ns + 10_000_000))
+    cached2 = nifti.readable_path(src)
+    assert cached2 != cached
+    np.testing.assert_allclose(
+        np.asarray(nifti.load(src).dataobj[..., 0]), series2[..., 0],
+        atol=1e-6)
+
+
+def test_gz_cache_disable_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("NEUROVIT_GZ_CACHE_DIR", str(tmp_path / "cache"))
+    monkeypatch.setenv("NEUROVIT_GZ_CACHE", "0")
+    vol = np.random.RandomState(4).randn(4, 5, 6).astype(np.float32)
+    src = str(tmp_path / "v.nii.gz")
+    nifti.save(src, vol)
+    assert nifti.readable_path(src) == src               # passthrough
+    img = nifti.load(src)                                # in-memory gunzip
+    assert not isinstance(img.dataobj, np.memmap)
+    np.testing.assert_allclose(np.asarray(img.dataobj), vol, atol=1e-6)
+
+
+def test_adni_native_batch_reads_gz_via_cache(tmp_path, monkeypatch):
+    """The native whole-batch fast path serves .nii.gz corpora through the
+    decompressed cache (values identical to the .nii path)."""
+    import pandas as pd
+
+    from neurovit_tpu.data import native_io
+    from neurovit_tpu.data.adni import ADNIDataset
+
+    if not native_io.available():
+        import pytest
+        pytest.skip("native lib not built")
+    monkeypatch.setenv("NEUROVIT_GZ_CACHE_DIR", str(tmp_path / "cache"))
+    rng = np.random.RandomState(5)
+    samples = []
+    for i in range(4):
+        path = str(tmp_path / f"s{i}.nii.gz")
+        nifti.save(path, rng.randn(21, 39, 21, 2).astype(np.float32))
+        samples.append((f"S{i:03d}", i % 2, path, "CN", "F", 60 + i))
+    import pickle
+    pkl = str(tmp_path / "idx.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(samples, f)
+    config = {"ADNI_CSV_PATH": "", "ADNI_TRAIN_PATH": pkl,
+              "ADNI_VAL_PATH": pkl, "DATASET_TASK": "age",
+              "DATASET_SPLIT_RATIO": 0.85,
+              "DATASET_TRANSFORMS": False, "TRAINING_SEED": 0,
+              "TRAINING_VIT_INPUT_SIZE": 20, "DATA_NATIVE_IO": True}
+    ds = ADNIDataset(config, mode="train")
+    vols = ds.read_batch_volumes(list(range(4)), n_threads=2)
+    assert vols is not None and vols.shape == (4, 20, 20, 20)
+    for j in range(4):
+        np.testing.assert_allclose(np.asarray(vols[j]),
+                                   ds.sample(j)["volume"], atol=1e-5)
