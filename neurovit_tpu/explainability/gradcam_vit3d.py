@@ -89,6 +89,22 @@ def get_attention_map(model, variables: Dict, x) -> Tuple[np.ndarray, np.ndarray
     return cam, np.asarray(class_idx)
 
 
+def reshape_transform(tokens, depth: int, height: int, width: int,
+                      slice_idx: int = None):
+    """ViT token stream -> CNN-style 2D feature map, for CAM methods that
+    expect [B, C, H, W] activations (the reference's helper,
+    ``explainability/xAi_gradcam_Resnet3D/gradcam_sMRI.py:16-29``): drop the
+    CLS token, fold the remaining tokens into the (depth, height, width)
+    patch grid, take one depth slice (the middle one by default — the
+    reference hardcodes 45 of 91), and move channels first."""
+    tokens = jnp.asarray(tokens)
+    b, _, dim = tokens.shape
+    grid = tokens[:, 1:, :].reshape(b, depth, height, width, dim)
+    if slice_idx is None:
+        slice_idx = depth // 2
+    return grid[:, slice_idx].transpose(0, 3, 1, 2)     # [B, dim, h, w]
+
+
 def visualize_slice(config: Dict, cam_3d, original_volume):
     """Extract the (image, attention) slice pair along GRADCAM_SLICE_DIM at
     GRADCAM_SLICE_IDX (NeuroEncoder.py:135-168)."""

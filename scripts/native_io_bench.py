@@ -78,15 +78,34 @@ def main():
             "native nvt_read_timepoint",
             lambda: [native_io.read_timepoint(p, t, CROP, SHAPE_OUT)
                      for p, t in work], n)
+        # Thread sweep with CPU-seconds accounting. On this 1-core box the
+        # wall rate cannot scale; what CAN be measured here is contention:
+        # if total CPU-seconds per sample stays flat as threads grow, the
+        # workers add no locking/synchronization overhead (the reader is
+        # GIL-free C++ on a shared-immutable mmap), so on an N-core host the
+        # aggregate rate scales ~min(N, threads) x the single-thread rate
+        # until disk/memory bandwidth caps it.
+        cpu_per_sample = {}
         for k in (1, 2, 4, 8):
+            def run_batch(k=k):
+                c0 = time.process_time()
+                native_io.read_batch(b_paths, b_tps, CROP, SHAPE_OUT,
+                                     n_threads=k)
+                cpu = (time.process_time() - c0) / n
+                # best-of-reps, like the wall numbers (1-core VM noise).
+                cpu_per_sample[k] = min(cpu, cpu_per_sample.get(k, cpu))
             results[f"native batch t{k}"] = bench(
-                f"native nvt_read_batch threads={k}",
-                lambda k=k: native_io.read_batch(
-                    b_paths, b_tps, CROP, SHAPE_OUT, n_threads=k), n)
+                f"native nvt_read_batch threads={k}", run_batch, n)
         base = results["numpy memmap"]
         for label, rate in results.items():
             if label != "numpy memmap":
                 print(f"  {label}: {rate / base:.2f}x vs numpy")
+        print("thread-contention check (CPU-seconds per sample; flat == "
+              "no contention == core-count scaling expected):")
+        for k, cpu in sorted(cpu_per_sample.items()):
+            print(f"  threads={k}: {cpu * 1e3:6.2f} ms CPU/sample "
+                  f"({cpu_per_sample[1] and cpu / cpu_per_sample[1]:.2f}x "
+                  f"vs t1)")
     finally:
         native_io.clear_cache()
         shutil.rmtree(root, ignore_errors=True)

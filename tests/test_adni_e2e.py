@@ -1,11 +1,15 @@
 """End-to-end ADNI path: CSV manifest -> index -> loader -> Trainer."""
 
+import pytest
+
 import numpy as np
 import pandas as pd
 
 from neurovit_tpu.data import get_datasets, nifti
 from neurovit_tpu.models import NeuroEncoder
 from neurovit_tpu.training import Trainer
+
+pytestmark = pytest.mark.slow  # e2e tier; -m 'not slow' skips
 
 
 def test_adni_train_and_inference_e2e(tiny_config, tmp_path):

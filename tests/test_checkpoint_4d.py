@@ -1,5 +1,7 @@
 """Orbax resume for the 4D trainer (masked optimizer state, frozen subtree)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +10,8 @@ from neurovit_tpu.models import NeuroEncoder
 from neurovit_tpu.training import Trainer
 from neurovit_tpu.training import checkpoint as ckpt
 from test_trainer_4d import Synthetic4D
+
+pytestmark = pytest.mark.slow  # e2e tier; -m 'not slow' skips
 
 
 def test_4d_orbax_roundtrip(tiny_config, tmp_path):

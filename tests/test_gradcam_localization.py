@@ -1,11 +1,15 @@
 """Grad-CAM localization: a trained cube classifier's CAM must concentrate
 attention mass on the cube region (the reference's visual QA, automated)."""
 
+import pytest
+
 import numpy as np
 
 from neurovit_tpu.data import get_datasets
 from neurovit_tpu.models import NeuroEncoder
 from neurovit_tpu.training import Trainer
+
+pytestmark = pytest.mark.slow  # e2e tier; -m 'not slow' skips
 
 
 def test_cam_localizes_cube_after_training(tiny_config):

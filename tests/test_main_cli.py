@@ -1,9 +1,13 @@
 """main.py entry point: train and inference modes end-to-end via argv."""
 
+import pytest
+
 import sys
 
 import numpy as np
 import yaml
+
+pytestmark = pytest.mark.slow  # e2e tier; -m 'not slow' skips
 
 
 def _write_config(tmp_path, tiny_config, **overrides):

@@ -1,5 +1,6 @@
 """4D mode: frozen encoder, temporal head, checkpoint bootstrap, masks."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,6 +26,7 @@ def test_4d_forward_shapes(tiny_config):
     assert logits.shape == (2, 2)
 
 
+@pytest.mark.slow
 def test_4d_volume_encoder_frozen(tiny_config):
     """Gradients w.r.t. the volume encoder must be exactly zero (stop_gradient
     == requires_grad=False, NeuroEncoder.py:34-36), and the optimizer mask

@@ -1,5 +1,6 @@
 """Lane-padded token stream (pallas path) == unpadded XLA path."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,6 +34,7 @@ def test_padded_stream_matches_xla():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_padded_stream_gradients_match():
     params = vit3d.init(jax.random.key(1), _cfg("xla"))
     vol = jnp.asarray(np.random.RandomState(1).randn(1, 1, 20, 20, 20),

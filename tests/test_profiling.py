@@ -1,5 +1,6 @@
 """Step timer stats + profiler trace capture."""
 
+import pytest
 import glob
 import os
 import time
@@ -23,6 +24,7 @@ def test_step_timer_stats():
     assert t.summary() is None
 
 
+@pytest.mark.slow
 def test_trace_writes_profile(tmp_path):
     out = str(tmp_path / "prof")
     with trace(out):

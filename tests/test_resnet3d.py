@@ -1,5 +1,6 @@
 """3D ResNet: primitive parity vs torch + architecture shape checks."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -76,6 +77,7 @@ def test_resnet18_forward_shapes():
     assert feats.shape[1] == 512      # layer4 channels, expansion 1
 
 
+@pytest.mark.slow
 def test_resnet50_bottleneck_and_shortcut_a():
     cfg = resnet3d.ResNetConfig(depth=50, n_input_channels=1, n_classes=4,
                                 shortcut_type="A")

@@ -1,11 +1,15 @@
 """ResNet volume-encoder training: BN state updates through the jitted step."""
 
+import pytest
+
 import jax
 import numpy as np
 
 from neurovit_tpu.data import get_datasets
 from neurovit_tpu.models import NeuroEncoder
 from neurovit_tpu.training import Trainer
+
+pytestmark = pytest.mark.slow  # e2e tier; -m 'not slow' skips
 
 
 def test_resnet_trainer_updates_bn_state(tiny_config):

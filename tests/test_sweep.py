@@ -55,3 +55,30 @@ def test_run_sweep_tracks_best(tmp_path):
     assert best["trials"] == 5
     assert best["best_metric"] == min(calls)
     assert (tmp_path / "sweep_results.jsonl").exists()
+
+
+def test_bayes_method_concentrates_via_tpe(tmp_path):
+    """method: bayes runs the local TPE surrogate: after the random warmup,
+    proposals concentrate near the incumbent optimum of a smooth objective
+    (log-distance to the optimum shrinks vs the warmup trials)."""
+    sweep_yaml = tmp_path / "sweep.yaml"
+    sweep_yaml.write_text(yaml.dump({
+        "method": "bayes",
+        "metric": {"goal": "minimize", "name": "val_loss"},
+        "parameters": {"learning_rate": {"min": 1e-5, "max": 1e-1}},
+    }))
+    base = load_config(overrides={"GLOBAL_OUTPUT_DIR": str(tmp_path)})
+    opt = 1e-3
+    lrs = []
+
+    def fake_train(config):
+        lr = config["TRAINING_LEARNING_RATE"]
+        lrs.append(lr)
+        return {"val_loss": (np.log(lr) - np.log(opt)) ** 2}
+
+    best = run_sweep(base, fake_train, str(sweep_yaml), count=24)
+    assert best["trials"] == 24
+    dist = [abs(np.log(lr) - np.log(opt)) for lr in lrs]
+    warmup, guided = np.mean(dist[:8]), np.mean(dist[-8:])
+    assert guided < warmup, (warmup, guided)
+    assert best["best_metric"] < 0.5   # within ~2x of the optimal lr

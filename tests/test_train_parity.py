@@ -8,6 +8,8 @@ rebuild from identical weights and identical batches, and assert the
 per-step losses and the post-training parameters track each other.
 """
 
+import pytest
+
 import jax
 import numpy as np
 import torch
@@ -18,6 +20,8 @@ from neurovit_tpu.training import Trainer
 from neurovit_tpu.training import state_dict as sd
 
 from torch_ref import TorchViT3D
+
+pytestmark = pytest.mark.slow  # e2e tier; -m 'not slow' skips
 
 LR, WD, STEPS, BATCH = 1e-3, 0.01, 5, 8
 
