@@ -118,3 +118,154 @@ def test_adamw_training_dynamics_match_torch(tiny_config):
         np.testing.assert_allclose(
             ours[key], theirs[key], rtol=1e-3, atol=2e-5,
             err_msg=f"parameter {key} diverged after {STEPS} AdamW steps")
+
+
+# ---------------------------------------------------------------------------
+# Full-run convergence parity (the run-level accuracy-parity proxy):
+# multi-epoch training on the synthetic cube task from identical weights and
+# batch streams must track torch per epoch — loss curve AND val accuracy —
+# in the exact (dropout-off) regime, and reach the same converged accuracy
+# with dropout on (streams differ; statistical comparison).
+# Ref: src/Trainer.py:43-56 (the loop), README.md:131-135 (the north star).
+# ---------------------------------------------------------------------------
+
+C_EPOCHS, C_BATCH, C_SEED = 3, 8, 11
+
+
+def _cube_task(tiny_config, dropout):
+    config = dict(tiny_config)
+    config.update({
+        "GRADCAM_NUM_SAMPLES": 200, "GRADCAM_TRAIN_PATH": None,
+        "GRADCAM_VAL_PATH": None,
+        "TRAINING_LEARNING_RATE": LR, "TRAINING_WEIGHT_DECAY": WD,
+        "TRAINING_ACCUMULATION_STEP": 1, "TRAINING_LR_SCHEDULE": "constant",
+        "TRAINING_BATCH_SIZE": C_BATCH, "TRAINING_DROPOUT": dropout,
+        "TRAINING_PRECISION": "f32", "KERNEL_IMPL": "xla",
+    })
+    from neurovit_tpu.data.synthetic import GradCAMDataset
+    train = [GradCAMDataset(config, "train").sample(i)
+             for i in range(len(GradCAMDataset(config, "train")))]
+    val = [GradCAMDataset(config, "val").sample(i)
+           for i in range(len(GradCAMDataset(config, "val")))]
+    epochs = []
+    for e in range(C_EPOCHS):
+        order = np.arange(len(train))
+        np.random.RandomState(C_SEED + e).shuffle(order)
+        batches = []
+        for b0 in range(0, len(train) - C_BATCH + 1, C_BATCH):
+            idxs = order[b0:b0 + C_BATCH]
+            batches.append({
+                "volume": np.stack([train[i]["volume"] for i in idxs]),
+                "label": np.array([train[i]["label"] for i in idxs], np.int32),
+                "valid": np.ones(C_BATCH, np.bool_),
+            })
+        epochs.append(batches)
+    val_x = np.stack([s["volume"] for s in val])
+    val_y = np.array([s["label"] for s in val], np.int64)
+    return config, epochs, val_x, val_y
+
+
+def _torch_run(epochs, val_x, val_y, dropout, n_classes):
+    torch.manual_seed(0)
+    tmodel = TorchViT3D(
+        image_size=20, image_patch_size=5, frames=20, frame_patch_size=5,
+        num_classes=n_classes, dim=64, depth=2, heads=4, dim_head=16,
+        mlp_dim=128, channels=1, pool="cls", dropout=dropout,
+        emb_dropout=dropout)
+    init_sd = {k: v.copy() for k, v in tmodel.ref_state_dict().items()}
+    opt = torch.optim.AdamW(tmodel.parameters(), lr=LR, weight_decay=WD)
+    loss_fn = torch.nn.CrossEntropyLoss()
+    losses, accs = [], []
+    for batches in epochs:
+        tmodel.train()
+        ep = []
+        for b in batches:
+            opt.zero_grad()
+            tin = torch.from_numpy(b["volume"]).permute(0, 3, 1, 2).unsqueeze(1)
+            loss = loss_fn(tmodel(tin),
+                           torch.from_numpy(b["label"]).long())
+            loss.backward()
+            opt.step()
+            ep.append(float(loss.detach()))
+        losses.append(float(np.mean(ep)))
+        tmodel.eval()
+        with torch.no_grad():
+            tv = torch.from_numpy(val_x).permute(0, 3, 1, 2).unsqueeze(1)
+            preds = tmodel(tv).argmax(dim=1).numpy()
+        accs.append(float((preds == val_y).mean()))
+    return init_sd, losses, accs
+
+
+def _jax_run(config, init_sd, epochs, val_x, val_y):
+    model = NeuroEncoder(config)
+    mesh = create_mesh(config, devices=jax.devices()[:1])
+
+    class _Dummy:
+        def __len__(self):
+            return C_BATCH
+
+        def sample(self, idx):
+            return {"volume": np.zeros((20, 20, 20), np.float32),
+                    "label": 0, "subject": "s", "timepoint": 0}
+
+    trainer = Trainer(config, model, _Dummy(), _Dummy(), mesh=mesh)
+    params = sd.load_into(model, jax.tree.map(np.asarray,
+                                              trainer.train_state["params"]),
+                          init_sd, strict=True)
+    trainer.train_state["params"] = trainer._replicate(params)
+    trainer.train_state["opt_state"] = trainer._replicate(
+        trainer.tx.init(trainer.train_state["params"]))
+    losses, accs = [], []
+    for batches in epochs:
+        ep = []
+        for b in batches:
+            device_batch = shard_batch(trainer._device_batch(b)[0], mesh)
+            trainer.train_state, metrics = trainer._train_step(
+                trainer.train_state, device_batch)
+            ep.append(float(metrics["loss"]))
+        losses.append(float(np.mean(ep)))
+        m = trainer._eval_step(
+            trainer.train_state["params"],
+            trainer.train_state["model_state"],
+            shard_batch({"volume": val_x,
+                         "label": val_y.astype(np.int32),
+                         "valid": np.ones(len(val_y), np.bool_)}, mesh))
+        accs.append(float(m["correct"]) / float(m["count"]))
+    return losses, accs
+
+
+@pytest.mark.slow
+def test_full_run_convergence_parity_exact(tiny_config):
+    """Dropout OFF, fp32, identical weights + batch stream: per-epoch loss
+    curves and val accuracies must track torch across the whole run."""
+    config, epochs, val_x, val_y = _cube_task(tiny_config, dropout=0.0)
+    model = NeuroEncoder(config)
+    init_sd, t_losses, t_accs = _torch_run(epochs, val_x, val_y, 0.0,
+                                           model.num_classes)
+    j_losses, j_accs = _jax_run(config, init_sd, epochs, val_x, val_y)
+    print(f"torch losses {t_losses} accs {t_accs}")
+    print(f"jax   losses {j_losses} accs {j_accs}")
+    # fp32 matmul-order drift compounds over 72 optimizer steps; epoch-mean
+    # losses must still track tightly and accuracy must match per epoch.
+    np.testing.assert_allclose(j_losses, t_losses, rtol=0.1, atol=0.02)
+    for ja, ta in zip(j_accs, t_accs):
+        assert abs(ja - ta) <= 0.1, (j_accs, t_accs)
+    assert t_accs[-1] >= 0.95 and j_accs[-1] >= 0.95, (t_accs, j_accs)
+
+
+@pytest.mark.slow
+def test_full_run_convergence_parity_dropout(tiny_config):
+    """Dropout ON (0.1): RNG streams differ between frameworks, so the
+    comparison is statistical — both runs must converge to the same place
+    (final val accuracy) along comparable loss trajectories."""
+    config, epochs, val_x, val_y = _cube_task(tiny_config, dropout=0.1)
+    model = NeuroEncoder(config)
+    init_sd, t_losses, t_accs = _torch_run(epochs, val_x, val_y, 0.1,
+                                           model.num_classes)
+    j_losses, j_accs = _jax_run(config, init_sd, epochs, val_x, val_y)
+    print(f"torch losses {t_losses} accs {t_accs}")
+    print(f"jax   losses {j_losses} accs {j_accs}")
+    for jl, tl in zip(j_losses, t_losses):
+        assert abs(jl - tl) <= 0.25, (j_losses, t_losses)
+    assert t_accs[-1] >= 0.9 and j_accs[-1] >= 0.9, (t_accs, j_accs)
+    assert abs(j_accs[-1] - t_accs[-1]) <= 0.1

@@ -13,25 +13,27 @@ from einops import rearrange
 
 
 class TorchFeedForward(nn.Module):
-    def __init__(self, dim, hidden_dim):
+    def __init__(self, dim, hidden_dim, dropout=0.0):
         super().__init__()
         self.net = nn.Sequential(
             nn.LayerNorm(dim), nn.Linear(dim, hidden_dim), nn.GELU(),
-            nn.Dropout(0.0), nn.Linear(hidden_dim, dim), nn.Dropout(0.0))
+            nn.Dropout(dropout), nn.Linear(hidden_dim, dim),
+            nn.Dropout(dropout))
 
     def forward(self, x):
         return self.net(x)
 
 
 class TorchAttention(nn.Module):
-    def __init__(self, dim, heads, dim_head):
+    def __init__(self, dim, heads, dim_head, dropout=0.0):
         super().__init__()
         inner = heads * dim_head
         self.heads = heads
         self.scale = dim_head ** -0.5
         self.norm = nn.LayerNorm(dim)
+        self.attend_drop = nn.Dropout(dropout)   # on attn probs (vit_3d.py:44)
         self.to_qkv = nn.Linear(dim, inner * 3, bias=False)
-        self.to_out = nn.Sequential(nn.Linear(inner, dim), nn.Dropout(0.0))
+        self.to_out = nn.Sequential(nn.Linear(inner, dim), nn.Dropout(dropout))
 
     def forward(self, x):
         x = self.norm(x)
@@ -39,6 +41,7 @@ class TorchAttention(nn.Module):
         q, k, v = [rearrange(t, "b n (h d) -> b h n d", h=self.heads)
                    for t in qkv]
         attn = (q @ k.transpose(-1, -2) * self.scale).softmax(dim=-1)
+        attn = self.attend_drop(attn)
         out = rearrange(attn @ v, "b h n d -> b n (h d)")
         return self.to_out(out)
 
@@ -48,7 +51,8 @@ class TorchViT3D(nn.Module):
 
     def __init__(self, *, image_size, image_patch_size, frames,
                  frame_patch_size, num_classes, dim, depth, heads, dim_head,
-                 mlp_dim, channels=1, pool="cls"):
+                 mlp_dim, channels=1, pool="cls", dropout=0.0,
+                 emb_dropout=0.0):
         super().__init__()
         f = frames // frame_patch_size
         h = image_size // image_patch_size
@@ -63,9 +67,10 @@ class TorchViT3D(nn.Module):
             nn.LayerNorm(dim))
         self.pos_embedding = nn.Parameter(torch.randn(1, num_patches + 1, dim))
         self.cls_token = nn.Parameter(torch.randn(1, 1, dim))
+        self.emb_dropout = nn.Dropout(emb_dropout)
         self.layers = nn.ModuleList([
-            nn.ModuleList([TorchAttention(dim, heads, dim_head),
-                           TorchFeedForward(dim, mlp_dim)])
+            nn.ModuleList([TorchAttention(dim, heads, dim_head, dropout),
+                           TorchFeedForward(dim, mlp_dim, dropout)])
             for _ in range(depth)])
         self.mlp_head = nn.Sequential(nn.LayerNorm(dim),
                                       nn.Linear(dim, num_classes))
@@ -80,6 +85,7 @@ class TorchViT3D(nn.Module):
         b, n, _ = x.shape
         cls = self.cls_token.expand(b, 1, -1)
         x = torch.cat([cls, x], dim=1) + self.pos_embedding[:, : n + 1]
+        x = self.emb_dropout(x)
         for attn, ff in self.layers:
             x = attn(x) + x
             x = ff(x) + x
