@@ -153,14 +153,45 @@ NiftiHandle* open_handle(const char* path) {
 // numpy [x][y][z] indexing for free. A tiled transposing gather into
 // C-order [X][Y][Z] was measured 28% slower than numpy's strided copy;
 // this layout beats it (scripts/native_io_bench.py).
+// 4-way-unrolled sum/sum-of-squares over one row. Independent accumulators
+// break the sequential-FP-add dependency chain (we own the summation order,
+// so no -ffast-math is needed for the compiler to keep them in parallel
+// registers); doubles keep 90^3-element sums exact enough for z-scoring.
+inline void row_stats(const float* v, int64_t n, double* s, double* s2) {
+  double a0 = 0, a1 = 0, a2 = 0, a3 = 0;
+  double b0 = 0, b1 = 0, b2 = 0, b3 = 0;
+  int64_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    a0 += v[i];     b0 += static_cast<double>(v[i]) * v[i];
+    a1 += v[i + 1]; b1 += static_cast<double>(v[i + 1]) * v[i + 1];
+    a2 += v[i + 2]; b2 += static_cast<double>(v[i + 2]) * v[i + 2];
+    a3 += v[i + 3]; b3 += static_cast<double>(v[i + 3]) * v[i + 3];
+  }
+  for (; i < n; ++i) {
+    a0 += v[i];
+    b0 += static_cast<double>(v[i]) * v[i];
+  }
+  *s += a0 + a1 + a2 + a3;
+  *s2 += b0 + b1 + b2 + b3;
+}
+
+// When `sum`/`sq` are non-null the z-score statistics are accumulated row by
+// row right after each row is written (the row is L1-resident then) — one
+// fewer full sweep of the ~2.9 MB sample than a separate stats pass.
 template <typename T>
 void gather_box(const T* vol, const int64_t* dims, const int64_t* lo,
-                const int64_t* hi, float slope, float inter, float* out) {
+                const int64_t* hi, float slope, float inter, float* out,
+                double* sum = nullptr, double* sq = nullptr) {
   const int64_t nx = dims[0], ny = dims[1];
   const int64_t sy = nx, sz = nx * ny;
   const int64_t cx = hi[0] - lo[0], cy = hi[1] - lo[1], cz = hi[2] - lo[2];
   const bool raw_f32 = std::is_same<T, float>::value &&
                        slope == 1.0f && inter == 0.0f;
+  const bool want_stats = sum != nullptr;
+  if (want_stats) {
+    *sum = 0.0;
+    *sq = 0.0;
+  }
   float* dst = out;
   for (int64_t z = 0; z < cz; ++z) {
     const T* zplane = vol + (z + lo[2]) * sz + lo[0];
@@ -172,6 +203,7 @@ void gather_box(const T* vol, const int64_t* dims, const int64_t* lo,
         for (int64_t x = 0; x < cx; ++x)
           dst[x] = static_cast<float>(src[x]) * slope + inter;
       }
+      if (want_stats) row_stats(dst, cx, sum, sq);
       dst += cx;
     }
   }
@@ -205,41 +237,39 @@ int read_timepoint_locked(NiftiHandle* h, int64_t t,
   const float slope = (h->scl_slope == 0.0f || h->scl_slope == 1.0f)
                           ? 1.0f : h->scl_slope;
   const float inter = (h->scl_slope == 0.0f) ? 0.0f : h->scl_inter;
+  double sum = 0.0, sq = 0.0;
+  double* sum_p = zscore ? &sum : nullptr;
+  double* sq_p = zscore ? &sq : nullptr;
   switch (h->datatype) {
     case kDTFloat32:
       gather_box(reinterpret_cast<const float*>(base), dims3, lo, hi,
-                 slope, inter, out);
+                 slope, inter, out, sum_p, sq_p);
       break;
     case kDTFloat64:
       gather_box(reinterpret_cast<const double*>(base), dims3, lo, hi,
-                 slope, inter, out);
+                 slope, inter, out, sum_p, sq_p);
       break;
     case kDTInt16:
       gather_box(reinterpret_cast<const int16_t*>(base), dims3, lo, hi,
-                 slope, inter, out);
+                 slope, inter, out, sum_p, sq_p);
       break;
     case kDTInt32:
       gather_box(reinterpret_cast<const int32_t*>(base), dims3, lo, hi,
-                 slope, inter, out);
+                 slope, inter, out, sum_p, sq_p);
       break;
     case kDTUInt8:
       gather_box(reinterpret_cast<const uint8_t*>(base), dims3, lo, hi,
-                 slope, inter, out);
+                 slope, inter, out, sum_p, sq_p);
       break;
     case kDTUInt16:
       gather_box(reinterpret_cast<const uint16_t*>(base), dims3, lo, hi,
-                 slope, inter, out);
+                 slope, inter, out, sum_p, sq_p);
       break;
     default:
       return -5;
   }
 
   if (zscore) {
-    double sum = 0.0, sq = 0.0;
-    for (int64_t i = 0; i < n_out; ++i) {
-      sum += out[i];
-      sq += static_cast<double>(out[i]) * out[i];
-    }
     const double mean = sum / n_out;
     const double var = sq / n_out - mean * mean;
     const double sd = std::sqrt(var > 0 ? var : 0);
