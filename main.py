@@ -87,10 +87,10 @@ def main():
         trainer = Trainer(config, model, dataset_train, dataset_val,
                           variables=variables, logger=logger)
         if config.get("RESUME"):
-            # True mid-run resume (params + optimizer + epoch + RNG) — the
-            # reference's bare state_dict saves cannot do this (SURVEY §5.4).
-            trainer.train_state = ckpt.load_train_state(
-                config["RESUME"], trainer.train_state)
+            # True mid-run resume (params + optimizer + epoch + RNG +
+            # plateau-scheduler counters) — the reference's bare state_dict
+            # saves cannot do this (SURVEY §5.4).
+            trainer.restore(config["RESUME"])
             print(f"Resumed from {config['RESUME']} "
                   f"at epoch {int(trainer.train_state['epoch'])}")
         trainer.run()

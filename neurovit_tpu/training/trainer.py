@@ -196,6 +196,29 @@ class Trainer:
     # loops
     # ------------------------------------------------------------------
 
+    def _checkpoint_state(self) -> Dict[str, Any]:
+        """Train state + scheduler bookkeeping worth persisting. The
+        plateau-reduced LR itself already lives in opt_state
+        (optim.set_lr); the best-val-loss / bad-epoch counters live here so
+        a resumed run does not restart the patience window."""
+        state = dict(self.train_state)
+        if self._plateau:
+            state["plateau"] = {
+                "best": jnp.asarray(self._plateau_best, jnp.float32),
+                "bad": jnp.asarray(self._plateau_bad_epochs, jnp.int32),
+            }
+        return state
+
+    def restore(self, path: str) -> None:
+        """True mid-run resume: params + optimizer + epoch + RNG (+ plateau
+        scheduler counters when that schedule is active)."""
+        restored = ckpt.load_train_state(path, self._checkpoint_state())
+        plateau = restored.pop("plateau", None)
+        if plateau is not None:
+            self._plateau_best = float(plateau["best"])
+            self._plateau_bad_epochs = int(plateau["bad"])
+        self.train_state = restored
+
     def run(self) -> None:
         timestamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
         path = f"{self.output_dir}/{timestamp}"
@@ -210,7 +233,7 @@ class Trainer:
             self.train_state["epoch"] = self._replicate(
                 jnp.asarray(epoch + 1, jnp.int32))
             ckpt.save_train_state(os.path.join(path, f"model-e{epoch}"),
-                                  self.train_state, self.model)
+                                  self._checkpoint_state(), self.model)
             ckpt.save_last_model(self.train_state, self.model)
             print(f"MODEL SAVED to .{path}/model-e{epoch}")
 

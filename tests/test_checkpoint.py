@@ -42,6 +42,37 @@ def test_orbax_full_state_roundtrip(tiny_config, tmp_path):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_plateau_scheduler_state_resumes(tiny_config, tmp_path):
+    """A resumed plateau-LR run keeps its best-val-loss / patience counters
+    (and the reduced LR, which rides in opt_state) instead of restarting
+    the patience window."""
+    config = dict(tiny_config, DATASET_GENERATE=True, GRADCAM_NUM_SAMPLES=48,
+                  TRAINING_LR_SCHEDULE="plateau",
+                  TRAINING_PLATEAU_PATIENCE=2)
+    ds_train, ds_val = get_datasets(config)
+    model = NeuroEncoder(config)
+    trainer = Trainer(config, model, ds_train, ds_val)
+
+    # Simulate two epochs: one improvement then one non-improvement.
+    trainer._plateau_step(0.5)
+    trainer._plateau_step(0.9)
+    assert trainer._plateau_best == 0.5 and trainer._plateau_bad_epochs == 1
+
+    path = str(tmp_path / "ckpt" / "model-e0")
+    ckpt.save_train_state(path, trainer._checkpoint_state(), model)
+
+    trainer2 = Trainer(config, model, ds_train, ds_val)
+    trainer2.restore(path)
+    assert trainer2._plateau_best == 0.5
+    assert trainer2._plateau_bad_epochs == 1
+    # One more bad epoch (patience 2 -> 3rd bad triggers) then the trigger.
+    trainer2._plateau_step(0.9)
+    lr_before = trainer2._lr_fn(trainer2.train_state["opt_state"])
+    trainer2._plateau_step(0.9)
+    lr_after = trainer2._lr_fn(trainer2.train_state["opt_state"])
+    assert lr_after == lr_before * 0.5
+
+
 def test_state_dict_strict_false_skips_unknown(tiny_config):
     model = NeuroEncoder(tiny_config)
     params = model.init(jax.random.key(0))["params"]
