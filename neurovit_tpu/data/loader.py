@@ -64,7 +64,14 @@ def stack_volumes(vals):
 class DataLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
                  num_workers: int = 8, seed: int = 0, drop_last: bool = False,
-                 prefetch: int = 2, retries: int = 1):
+                 prefetch: int = 2, retries: int = 1,
+                 shard: "tuple[int, int] | None" = None):
+        """``shard=(rank, world)`` gives this loader a disjoint 1/world slice
+        of the (per-epoch shuffled) index space — the multi-HOST data
+        parallelism contract: each process feeds its OWN rows and
+        ``parallel.shard_batch`` assembles the global batch from them. All
+        ranks see the same shuffle (same seed+epoch) and the same number of
+        batches (short shards wrap), so SPMD processes stay in lockstep."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -72,6 +79,13 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        if shard is not None:
+            rank, world = shard
+            assert 0 <= rank < world, shard
+            assert len(dataset) >= world, (
+                f"dataset of {len(dataset)} samples cannot feed {world} "
+                f"processes")
+        self.shard = shard
         # Transient-I/O resilience (the reference has none, SURVEY §5.3):
         # a failed/None sample read is retried before being skipped+masked.
         self.retries = retries
@@ -91,8 +105,14 @@ class DataLoader:
                 return sample
         return None
 
-    def __len__(self) -> int:
+    def _shard_len(self) -> int:
         n = len(self.dataset)
+        if self.shard is None:
+            return n
+        return -(-n // self.shard[1])         # ceil: every rank equal-length
+
+    def __len__(self) -> int:
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -106,6 +126,14 @@ class DataLoader:
         order = np.arange(n)
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        if self.shard is not None:
+            rank, world = self.shard
+            mine = order[rank::world]
+            target = self._shard_len()
+            if len(mine) < target:            # wrap so all ranks yield the
+                mine = np.concatenate(        # same number of batches
+                    [mine, mine[: target - len(mine)]])
+            return mine
         return order
 
     def _collate(self, samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:

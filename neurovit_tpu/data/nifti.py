@@ -32,6 +32,7 @@ import hashlib
 import os
 import struct
 import tempfile
+import zlib
 from typing import Optional, Tuple
 
 import numpy as np
@@ -124,6 +125,7 @@ def readable_path(path: str,
         return path
     if os.environ.get("NEUROVIT_GZ_CACHE", "1") == "0":
         return path
+    tmp = None
     try:
         st = os.stat(path)
         key = hashlib.sha1(
@@ -135,17 +137,42 @@ def readable_path(path: str,
         if os.path.exists(dst):
             return dst
         os.makedirs(cache_dir, exist_ok=True)
-        tmp = f"{dst}.tmp{os.getpid()}"
-        with gzip.open(path, "rb") as src, open(tmp, "wb") as out:
+        # Evict superseded entries for this basename (a replaced source file
+        # gets a new mtime/size key) so the cache doesn't grow one full-size
+        # copy per source-file version. Colliding basenames from different
+        # directories merely re-inflate — correctness is unaffected.
+        for name in os.listdir(cache_dir):
+            if name.endswith(f"_{base}") and name != f"{key}_{base}":
+                try:
+                    os.remove(os.path.join(cache_dir, name))
+                except OSError:
+                    pass
+        # Unique tmp per CALL (loader threads inflate the same series
+        # concurrently on a cold cache; a shared pid-keyed tmp would let one
+        # writer truncate another's file mid-write). os.replace publishes
+        # atomically, so concurrent winners agree on the final bytes.
+        fd, tmp = tempfile.mkstemp(prefix=f".{key}_{base}.tmp",
+                                   dir=cache_dir)
+        with gzip.open(path, "rb") as src, os.fdopen(fd, "wb") as out:
             while True:
                 chunk = src.read(1 << 24)
                 if not chunk:
                     break
                 out.write(chunk)
-        os.replace(tmp, dst)                          # atomic: racers agree
+        os.replace(tmp, dst)
+        tmp = None
         return dst
-    except OSError:
+    except (OSError, EOFError, zlib.error):
+        # OSError: unwritable scratch; EOFError/zlib.error: truncated or
+        # corrupt .gz — fall back to the original path so the caller's
+        # in-memory gunzip (or its own error handling) decides.
         return path
+    finally:
+        if tmp is not None:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def clear_gz_cache(cache_dir: Optional[str] = None) -> None:

@@ -19,7 +19,6 @@ Run: ``python -m neurovit_tpu.explainability.driver_smri [--config ...]``
 from __future__ import annotations
 
 import os
-from datetime import datetime
 from typing import List, Sequence, Tuple
 
 import numpy as np

@@ -32,10 +32,12 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh,
     B*T stream itself).
 
     Single-process: plain device_put. Multi-process (pod): each host's batch
-    is its process-LOCAL rows, assembled into the global batch-sharded array
-    via ``jax.make_array_from_process_local_data`` — a plain device_put
-    there would treat every host's local batch as the identical global
-    array (wrong batches, wrong gradients).
+    is its process-LOCAL rows — the Trainer's DataLoaders are constructed
+    with ``shard=(process_index, process_count)`` so each host loads a
+    disjoint slice of the index space — assembled into the global
+    batch-sharded array via ``jax.make_array_from_process_local_data``.
+    A plain device_put there would treat every host's local batch as the
+    identical global array (wrong batches, wrong gradients).
     """
     sharding = replicated(mesh) if replicate else batch_sharding(mesh)
     multiprocess = jax.process_count() > 1

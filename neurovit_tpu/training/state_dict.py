@@ -247,7 +247,10 @@ def load_into_variables(model, variables: Dict[str, Any],
     if strip_prefix is not None:
         sd = {k[len(strip_prefix):] if k.startswith(strip_prefix) else k: v
               for k, v in sd.items()}
-    tree = _combined(model, variables["params"], variables.get("state"))
+    model_state = variables.get("state")
+    state_missing = model_state is None
+    tree = {"params": variables["params"],
+            "state": {} if state_missing else model_state}
     entries = {k: (path, t) for k, path, t in _model_entries(model)}
     matched = set()
     for key, value in sd.items():
@@ -258,6 +261,16 @@ def load_into_variables(model, variables: Dict[str, Any],
                 raise KeyError(f"Unexpected key in state_dict: {key}")
             continue
         path, transpose = entries[key]
+        if path[0] == "state" and state_missing:
+            # Params-only caller (load_into): BN running stats have nowhere
+            # to land. strict=False skips them (torch strict=False
+            # semantics); strict demands the full variables form.
+            if strict:
+                raise ValueError(
+                    f"{key} targets the model state (BN running stats) but "
+                    f"no state subtree was provided — use "
+                    f"load_into_variables for resnet checkpoints")
+            continue
         arr = np.asarray(value)
         if transpose:
             arr = arr.T

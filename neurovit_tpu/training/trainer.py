@@ -76,12 +76,18 @@ class Trainer:
         self.data = dataset_train
         self.val_data = dataset_val
         seed = config.get("TRAINING_SEED", 42)
+        # Multi-host: each process loads a disjoint 1/world slice of the
+        # index space (same shuffle everywhere, equal batch counts) and
+        # parallel.shard_batch assembles the global batch from the local
+        # rows. Single host: the full index space.
+        shard = ((jax.process_index(), jax.process_count())
+                 if jax.process_count() > 1 else None)
         self.dataloader = DataLoader(
             dataset_train, self.batch_size, shuffle=True,
-            num_workers=self.num_workers, seed=seed)
+            num_workers=self.num_workers, seed=seed, shard=shard)
         self.val_dataloader = DataLoader(
             dataset_val, self.batch_size, shuffle=False,
-            num_workers=self.num_workers, seed=seed)
+            num_workers=self.num_workers, seed=seed, shard=shard)
 
         # ---- parameters / optimizer ------------------------------------
         if variables is None:
@@ -211,10 +217,27 @@ class Trainer:
 
     def restore(self, path: str) -> None:
         """True mid-run resume: params + optimizer + epoch + RNG (+ plateau
-        scheduler counters when that schedule is active)."""
-        restored = ckpt.load_train_state(path, self._checkpoint_state())
+        scheduler counters when that schedule is active).
+
+        Orbax restores against a structural template, so the template must
+        match what the checkpoint actually contains: try the
+        current-schedule shape first, then the alternative (checkpoints
+        saved before the plateau entry existed, or saved under a different
+        TRAINING_LR_SCHEDULE, still resume — the counters just start
+        fresh/are dropped)."""
+        primary = self._checkpoint_state()
+        alternate = dict(self.train_state)
+        if "plateau" not in primary:
+            alternate["plateau"] = {
+                "best": jnp.zeros((), jnp.float32),
+                "bad": jnp.zeros((), jnp.int32),
+            }
+        try:
+            restored = ckpt.load_train_state(path, primary)
+        except Exception:
+            restored = ckpt.load_train_state(path, alternate)
         plateau = restored.pop("plateau", None)
-        if plateau is not None:
+        if self._plateau and plateau is not None:
             self._plateau_best = float(plateau["best"])
             self._plateau_bad_epochs = int(plateau["bad"])
         self.train_state = restored

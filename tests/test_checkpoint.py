@@ -91,3 +91,28 @@ def test_state_dict_shape_mismatch_raises(tiny_config):
     exported[key] = np.zeros((1, 1, 999))
     with pytest.raises(ValueError):
         sd.load_into(model, params, exported, strict=False)
+
+
+def test_resume_across_plateau_schedule_versions(tiny_config, tmp_path):
+    """Checkpoints without a plateau entry (older saves / other schedules)
+    must still resume under the plateau schedule, and vice versa."""
+    base = dict(tiny_config, DATASET_GENERATE=True, GRADCAM_NUM_SAMPLES=48)
+    ds_train, ds_val = get_datasets(base)
+    model = NeuroEncoder(base)
+
+    # Save WITHOUT plateau (constant schedule) -> resume WITH plateau.
+    t_const = Trainer(base, model, ds_train, ds_val)
+    p1 = str(tmp_path / "const" / "model-e0")
+    ckpt.save_train_state(p1, t_const._checkpoint_state(), model)
+    t_plat = Trainer(dict(base, TRAINING_LR_SCHEDULE="plateau"), model,
+                     ds_train, ds_val)
+    t_plat.restore(p1)
+    assert t_plat._plateau_bad_epochs == 0          # fresh counters
+
+    # Save WITH plateau -> resume under the constant schedule.
+    t_plat._plateau_step(0.4)
+    p2 = str(tmp_path / "plat" / "model-e0")
+    ckpt.save_train_state(p2, t_plat._checkpoint_state(), model)
+    t_const2 = Trainer(base, model, ds_train, ds_val)
+    t_const2.restore(p2)                            # plateau entry dropped
+    assert "plateau" not in t_const2.train_state

@@ -96,3 +96,32 @@ def test_early_break_does_not_hang():
             break
     # a second full iteration still works after the early break
     assert sum(int(b["valid"].sum()) for b in loader) == 100
+
+
+def test_sharded_loader_partitions_index_space():
+    """shard=(rank, world): disjoint slices of the same shuffle, equal batch
+    counts on every rank (SPMD lockstep), wrap-padded short shards."""
+    class _DS:
+        def __len__(self):
+            return 11
+
+        def sample(self, idx):
+            return {"volume": np.full((2, 2, 2), idx, np.float32),
+                    "label": idx, "subject": f"s{idx}"}
+
+    loaders = [DataLoader(_DS(), 2, shuffle=True, seed=3, num_workers=1,
+                          shard=(r, 2)) for r in range(2)]
+    assert len(loaders[0]) == len(loaders[1]) == 3   # ceil(ceil(11/2)=6 / 2)
+    seen = []
+    for ld in loaders:
+        ld.set_epoch(1)
+        labels = []
+        for batch in ld:
+            labels += [int(l) for l, v in zip(batch["label"], batch["valid"])
+                       if v]
+        seen.append(labels)
+    assert len(seen[0]) == len(seen[1]) == 6          # 5-sample shard wrapped
+    # Union covers the whole dataset; overlap only from the wrap row.
+    union = set(seen[0]) | set(seen[1])
+    assert union == set(range(11))
+    assert len(set(seen[0]) & set(seen[1])) <= 1

@@ -119,3 +119,36 @@ def test_adni_native_batch_reads_gz_via_cache(tmp_path, monkeypatch):
     for j in range(4):
         np.testing.assert_allclose(np.asarray(vols[j]),
                                    ds.sample(j)["volume"], atol=1e-5)
+
+
+def test_gz_cache_corrupt_file_falls_back(tmp_path, monkeypatch):
+    """A truncated .gz must fall back to the original path (EOFError is not
+    an OSError) and leave no stray tmp files in the cache dir."""
+    import gzip
+    import os
+    cache = tmp_path / "cache"
+    monkeypatch.setenv("NEUROVIT_GZ_CACHE_DIR", str(cache))
+    vol = np.random.RandomState(6).randn(6, 7, 8).astype(np.float32)
+    src = str(tmp_path / "t.nii.gz")
+    nifti.save(src, vol)
+    data = open(src, "rb").read()
+    open(src, "wb").write(data[: len(data) // 2])     # truncate mid-stream
+    assert nifti.readable_path(src) == src            # graceful fallback
+    if cache.exists():
+        assert not [f for f in os.listdir(cache) if ".tmp" in f]
+
+
+def test_gz_cache_evicts_superseded_entries(tmp_path, monkeypatch):
+    import os
+    cache = tmp_path / "cache"
+    monkeypatch.setenv("NEUROVIT_GZ_CACHE_DIR", str(cache))
+    src = str(tmp_path / "e.nii.gz")
+    nifti.save(src, np.zeros((4, 4, 4), np.float32))
+    first = nifti.readable_path(src)
+    nifti.save(src, np.ones((4, 4, 4), np.float32))
+    os.utime(src, ns=(os.stat(src).st_atime_ns,
+                      os.stat(src).st_mtime_ns + 10_000_000))
+    second = nifti.readable_path(src)
+    assert second != first
+    entries = [f for f in os.listdir(cache) if f.endswith("e.nii")]
+    assert len(entries) == 1                          # stale copy evicted

@@ -90,3 +90,23 @@ def test_resnet_checkpoint_saves_state_dict(tiny_config, tmp_path):
                                       path, strict=True)
     for a, b in zip(jax.tree.leaves(variables), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_params_only_load_skips_bn_stats_nonstrict(tiny_config):
+    """load_into (params-only, e.g. the 4D volume-encoder bootstrap path)
+    must not crash on resnet checkpoints: BN running-stat entries are
+    skipped under strict=False and demand the variables form under
+    strict=True."""
+    import pytest
+
+    model = _resnet_model(tiny_config)
+    variables = _randomized_variables(model)
+    exported = sd.to_state_dict(model, variables["params"],
+                                variables["state"])
+    fresh = model.init(jax.random.key(3))
+    merged = sd.load_into(model, fresh["params"], exported, strict=False)
+    for a, b in zip(jax.tree.leaves(variables["params"]),
+                    jax.tree.leaves(merged)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError, match="load_into_variables"):
+        sd.load_into(model, fresh["params"], exported, strict=True)
