@@ -152,3 +152,27 @@ def test_gz_cache_evicts_superseded_entries(tmp_path, monkeypatch):
     assert second != first
     entries = [f for f in os.listdir(cache) if f.endswith("e.nii")]
     assert len(entries) == 1                          # stale copy evicted
+
+
+def test_gz_cache_concurrent_inflation(tmp_path, monkeypatch):
+    """Cold-cache inflation from many loader threads at once must publish a
+    complete file (per-call tmp names; atomic replace) — every thread gets
+    correct bytes."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cache = tmp_path / "cache"
+    monkeypatch.setenv("NEUROVIT_GZ_CACHE_DIR", str(cache))
+    series = np.random.RandomState(7).randn(16, 17, 18, 3).astype(np.float32)
+    src = str(tmp_path / "c.nii.gz")
+    nifti.save(src, series)
+
+    def read(_):
+        img = nifti.load(src)
+        return np.asarray(img.dataobj[..., 1])
+
+    with ThreadPoolExecutor(8) as pool:
+        results = list(pool.map(read, range(16)))
+    for r in results:
+        np.testing.assert_allclose(r, series[..., 1], atol=1e-6)
+    import os
+    assert not [f for f in os.listdir(cache) if ".tmp" in f]
