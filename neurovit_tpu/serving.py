@@ -12,6 +12,7 @@ one XLA program, no recompiles, amortized MXU utilization.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -108,3 +109,92 @@ class Predictor:
         if self.model.is_4d:
             shape = shape + (1,)
         self(np.zeros(shape, np.float32))
+
+
+# --------------------------------------------------------------------------
+# Batch-prediction CLI: NIfTI files in -> CSV of predictions out
+# --------------------------------------------------------------------------
+
+def _collect_volume_jobs(inputs, crop: bool):
+    """Expand inputs (dirs / .nii(.gz) files / a manifest CSV with a
+    Path_fMRI_brain column) into (path, timepoint, volume) samples with the
+    ADNI preprocessing (crop [1:, 10:-9, 1:] + per-volume z-score,
+    DatasetADNI.py:211-213) when ``crop``, else raw volumes z-scored."""
+    import glob
+
+    from neurovit_tpu.data import nifti
+
+    paths = []
+    for inp in inputs:
+        if os.path.isdir(inp):
+            paths += sorted(glob.glob(os.path.join(inp, "*.nii"))
+                            + glob.glob(os.path.join(inp, "*.nii.gz")))
+        elif inp.endswith(".csv"):
+            import pandas as pd
+            df = pd.read_csv(inp)
+            col = next(c for c in ("Path_fMRI_brain", "Path_fMRI", "path")
+                       if c in df.columns)
+            paths += [p for p in df[col].tolist() if isinstance(p, str)]
+        else:
+            paths.append(inp)
+    for path in paths:
+        img = nifti.load(nifti.readable_path(path))
+        n_t = img.shape[3] if len(img.shape) == 4 else 1
+        for t in range(n_t):
+            box = img.dataobj[..., t] if len(img.shape) == 4 else img.dataobj
+            box = np.asarray(box[1:, 10:-9, 1:] if crop else box, np.float32)
+            vol = (box - box.mean()) / (box.std() + 1e-8)
+            yield path, t, vol
+
+
+def main(argv=None) -> None:
+    """``python -m neurovit_tpu.serving``: batch inference over NIfTI files.
+
+    The reference's only inference surface is the --inference eval sweep
+    over a pickled validation set (src/Trainer.py:120-166); this serves
+    arbitrary volumes: directories, explicit files, or a manifest CSV, one
+    prediction row per (file, timepoint) into --output.
+    """
+    import argparse
+    import csv
+
+    from neurovit_tpu.config import load_config
+
+    parser = argparse.ArgumentParser(
+        description="NeuroViT-TPU batch prediction")
+    parser.add_argument("inputs", nargs="+",
+                        help=".nii/.nii.gz files, directories, or a "
+                             "manifest CSV (Path_fMRI_brain column)")
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--checkpoint", default=None,
+                        help="state-dict pickle / torch .pth "
+                             "(default: BEST_MODEL_PATH)")
+    parser.add_argument("--output", default="predictions.csv")
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--no-crop", action="store_true",
+                        help="skip the ADNI crop [1:, 10:-9, 1:] "
+                             "(volumes already at model size)")
+    args = parser.parse_args(argv)
+
+    config = load_config(args.config)
+    ckpt_path = args.checkpoint or os.path.join(
+        config.get("GLOBAL_BASE_PATH", "."), config["BEST_MODEL_PATH"])
+    predictor = Predictor.from_checkpoint(config, ckpt_path,
+                                          batch_size=args.batch_size)
+
+    jobs = list(_collect_volume_jobs(args.inputs, crop=not args.no_crop))
+    if not jobs:
+        raise SystemExit("no input volumes found")
+    volumes = np.stack([v for _, _, v in jobs])
+    labels, probs = predictor(volumes)
+    with open(args.output, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["path", "timepoint", "prediction"]
+                        + [f"prob_{c}" for c in range(probs.shape[1])])
+        for (path, t, _), label, p in zip(jobs, labels, probs):
+            writer.writerow([path, t, int(label)] + [f"{v:.6f}" for v in p])
+    print(f"Wrote {len(jobs)} predictions to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

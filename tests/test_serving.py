@@ -77,3 +77,45 @@ def test_predictor_4d(tiny_config, tmp_path):
     assert labels.shape == (3,)
     assert probs.shape == (3, 2)
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_serving_cli_predicts_nifti_files(tiny_config, tmp_path):
+    """python -m neurovit_tpu.serving over a dir of .nii files: one CSV row
+    per (file, timepoint), probabilities summing to 1."""
+    import csv
+    import yaml
+
+    from neurovit_tpu.data import nifti
+    from neurovit_tpu.serving import main as serving_main
+
+    model = NeuroEncoder(tiny_config)
+    variables = model.init(jax.random.key(0))
+    ckpt = str(tmp_path / "best.pkl")
+    sd.save(ckpt, sd.to_state_dict(model, variables["params"]))
+
+    vols = tmp_path / "vols"
+    vols.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        # (21, 39, 21, T): the ADNI crop [1:, 10:-9, 1:] yields 20^3.
+        nifti.save(str(vols / f"v{i}.nii"),
+                   rng.randn(21, 39, 21, 2).astype(np.float32))
+
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump({k: v for k, v in tiny_config.items()
+                   if not k.startswith("_")}, f)
+    out = str(tmp_path / "preds.csv")
+    serving_main([str(vols), "--config", cfg_path, "--checkpoint", ckpt,
+                  "--output", out, "--batch-size", "4"])
+
+    with open(out) as f:
+        rows = list(csv.reader(f))
+    header, body = rows[0], rows[1:]
+    assert header[:3] == ["path", "timepoint", "prediction"]
+    assert len(body) == 4                     # 2 files x 2 timepoints
+    n_classes = model.num_classes
+    for row in body:
+        probs = np.array([float(v) for v in row[3:3 + n_classes]])
+        assert abs(probs.sum() - 1.0) < 1e-4
+        assert int(row[2]) == int(np.argmax(probs))
