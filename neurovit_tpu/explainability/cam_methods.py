@@ -1,0 +1,233 @@
+"""CAM method menu for the 3D ViT: gradcam++/xgradcam/layercam/eigencam/
+eigengradcam/scorecam/ablationcam on the Grad-CAM probe layer.
+
+The reference vendors the upstream pytorch_grad_cam ViT tutorial
+(``explainability/activation_map/gradcam_original.py``) whose whole point is
+a *menu* of CAM methods over a ViT target layer with a ``reshape_transform``
+(gradcam_original.py:59-68,73). Rather than copy a 2D DeiT demo, this module
+provides the same method menu natively for the framework's own 3D ViT: every
+method consumes the (activations, gradients) that the hook-free vjp probe
+already exposes (``gradcam_vit3d.probe_acts_grads`` — the analog of the
+tutorial's ``model.blocks[-1].norm1`` target layer), computes its token-space
+map, and shares the reference CAM tail (ReLU -> per-sample norm -> percentile
+threshold -> trilinear upsample, NeuroEncoder.py:117-131).
+
+Token-space conventions (after dropping the CLS token): activations
+``A[b, s, c]`` and target-class gradients ``G[b, s, c]`` over spatial
+positions ``s`` (the (grid/patch)^3 patch cells) and channels ``c`` (the
+model dim) — exactly the tutorial's reshape_transform view with channels
+last.
+
+Methods (pytorch_grad_cam semantics):
+
+- ``gradcam``      w_c = mean_s G;             cam_s = sum_c w_c A
+- ``gradcam++``    alpha from the 2nd-order expansion (Chattopadhay 2018)
+- ``xgradcam``     w_c = sum_s(G*A)/(sum_s A + eps)
+- ``layercam``     cam_s = sum_c relu(G)*A     (position-wise weighting)
+- ``eigencam``     1st principal projection of spatially-centered A
+- ``eigengradcam`` same, of G*A
+- ``scorecam``     gradient-free: w_c = softmax_c score(x * upsample(A_c))
+- ``ablationcam``  w_c = (score - score with channel c zeroed at the probe
+                   layer) / score — the ablation rides the additive probe
+                   (shift = -A[..., c] e_c), no model surgery needed
+- ``gradcam-ref``  the reference's own variant (grad mean over *features*,
+                   NeuroEncoder.py:103) — delegates to gradcam_vit3d
+
+FullGrad is not reproduced: it decomposes the score into per-layer *bias*
+gradients over every norm layer in the network, which is a different capture
+contract than the single probe layer all other methods (and the reference's
+hooks) share; the tutorial never ran it on the 3D model either.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurovit_tpu.explainability.gradcam_vit3d import (finalize_cam,
+                                                       probe_acts_grads)
+
+GRAD_METHODS = ("gradcam", "gradcam++", "xgradcam", "layercam",
+                "eigencam", "eigengradcam")
+FORWARD_METHODS = ("scorecam", "ablationcam")
+METHODS = GRAD_METHODS + FORWARD_METHODS + ("gradcam-ref",)
+
+
+def _principal_projection(x: jax.Array) -> jax.Array:
+    """[B, S, C] -> [B, S]: projection onto the first right singular vector
+    of the spatially-centered matrix (pytorch_grad_cam get_2d_projection)."""
+    centered = x - x.mean(axis=1, keepdims=True)
+    # SVD of [S, C] per sample; V[:, 0] spans the dominant channel direction.
+    _, _, vt = jnp.linalg.svd(centered, full_matrices=False)
+    proj = jnp.einsum("bsc,bc->bs", centered, vt[:, 0, :])
+    # Sign is arbitrary per sample; pick the orientation with positive mass
+    # (the CAM tail ReLUs, so the wrong sign would zero the whole map).
+    sign = jnp.sign(jnp.sum(jax.nn.relu(proj) - jax.nn.relu(-proj),
+                            axis=1, keepdims=True))
+    return proj * jnp.where(sign == 0, 1.0, sign)
+
+
+def _token_cam(method: str, acts: jax.Array, grads: jax.Array) -> jax.Array:
+    """[B, S, C] activations/gradients -> [B, S] raw token map."""
+    a, g = acts, grads
+    if method == "gradcam":
+        w = g.mean(axis=1, keepdims=True)                      # [B, 1, C]
+        return jnp.sum(w * a, axis=2)
+    if method == "gradcam++":
+        g2, g3 = g * g, g * g * g
+        denom = 2.0 * g2 + jnp.sum(a * g3, axis=1, keepdims=True)
+        alpha = jnp.where(jnp.abs(denom) > 1e-12, g2 / denom, 0.0)
+        w = jnp.sum(alpha * jax.nn.relu(g), axis=1, keepdims=True)
+        return jnp.sum(w * a, axis=2)
+    if method == "xgradcam":
+        w = (jnp.sum(g * a, axis=1, keepdims=True)
+             / (jnp.sum(a, axis=1, keepdims=True) + 1e-8))
+        return jnp.sum(w * a, axis=2)
+    if method == "layercam":
+        return jnp.sum(jax.nn.relu(g) * a, axis=2)
+    if method == "eigencam":
+        return _principal_projection(a)
+    if method == "eigengradcam":
+        return _principal_projection(g * a)
+    raise ValueError(f"unknown gradient CAM method: {method}")
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _grad_cam_jit(model, params: Dict, x: jax.Array, method: str,
+                  threshold: float) -> Tuple[jax.Array, jax.Array]:
+    grid = model.vit_cfg.image_size
+    cs = grid // model.vit_cfg.image_patch_size
+    b = x.shape[0]
+    _, class_idx, acts, grads = probe_acts_grads(model, params, x)
+    cam = _token_cam(method, acts[:, 1:], grads[:, 1:])        # drop CLS
+    cam_3d = finalize_cam(cam.reshape(b, cs, cs, cs), grid, threshold)
+    return cam_3d, class_idx
+
+
+# --------------------------------------------------------------------------
+# Forward-only methods (per channel-chunk compiled forwards)
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(0,))
+def _probe_forward_jit(model, params, x):
+    n_tokens = model.vit_cfg.num_patches + 1
+    zeros = jnp.zeros((x.shape[0], n_tokens, model.vit_cfg.dim), jnp.float32)
+    logits, aux = model.apply(params, x, deterministic=True, probe_shift=zeros)
+    return logits, aux["probe"].astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def _scorecam_chunk_jit(model, params, x1, acts_chunk, grid):
+    """Scores of one sample masked by one chunk of activation channels.
+
+    x1: [1, H, W, D]; acts_chunk: [K, S] token activations (CLS dropped) ->
+    [K] target-class logits of x1 * minmax(upsample(A_c)).
+    """
+    k = acts_chunk.shape[0]
+    cs = model.vit_cfg.image_size // model.vit_cfg.image_patch_size
+    masks = acts_chunk.reshape(k, cs, cs, cs)
+    masks = jax.image.resize(masks, (k, grid, grid, grid), method="trilinear")
+    lo = masks.min(axis=(1, 2, 3), keepdims=True)
+    hi = masks.max(axis=(1, 2, 3), keepdims=True)
+    masks = (masks - lo) / (hi - lo + 1e-8)
+    logits, _ = model.apply(params, x1 * masks, deterministic=True)
+    return logits
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _ablation_chunk_jit(model, params, x1, acts1, channels):
+    """Scores of one sample with one chunk of probe channels zeroed.
+
+    acts1: [1, T, C] probe activations; channels: [K] channel indices.
+    shift = -A * e_c zeroes channel c of the probe-layer LN output across
+    the whole token stream (AblationLayerVit semantics) — expressible as a
+    plain additive probe because the probe adds at exactly that activation.
+    """
+    k = channels.shape[0]
+    onehot = jax.nn.one_hot(channels, acts1.shape[-1],
+                            dtype=jnp.float32)                 # [K, C]
+    shifts = -acts1 * onehot[:, None, :]                       # [K, T, C]
+    xk = jnp.broadcast_to(x1, (k,) + x1.shape[1:])
+    logits, _ = model.apply(params, xk, deterministic=True, probe_shift=shifts)
+    return logits
+
+
+def _forward_cam(model, params, x, method: str, threshold: float,
+                 score_batch: int) -> Tuple[jax.Array, jax.Array]:
+    grid = model.vit_cfg.image_size
+    cs = grid // model.vit_cfg.image_patch_size
+    dim = model.vit_cfg.dim
+    b = x.shape[0]
+    logits, acts = _probe_forward_jit(model, params, x)
+    class_idx = jnp.argmax(logits, axis=1)
+
+    # Pad the channel axis to whole chunks: one compiled shape per model.
+    n_chunks = -(-dim // score_batch)
+    pad = n_chunks * score_batch - dim
+    cams = []
+    for i in range(b):
+        x1 = x[i:i + 1]
+        cls = class_idx[i]
+        scores = []
+        if method == "scorecam":
+            a_tok = acts[i, 1:, :].T                           # [C, S]
+            a_tok = jnp.pad(a_tok, ((0, pad), (0, 0)))
+            for c0 in range(0, dim + pad, score_batch):
+                lg = _scorecam_chunk_jit(model, params, x1,
+                                         a_tok[c0:c0 + score_batch], grid)
+                scores.append(lg[:, cls])
+            w = jax.nn.softmax(jnp.concatenate(scores)[:dim])  # [C]
+        else:                                                  # ablationcam
+            acts1 = acts[i:i + 1]
+            chan = jnp.pad(jnp.arange(dim), (0, pad))
+            for c0 in range(0, dim + pad, score_batch):
+                lg = _ablation_chunk_jit(model, params, x1, acts1,
+                                         chan[c0:c0 + score_batch])
+                scores.append(lg[:, cls])
+            ablated = jnp.concatenate(scores)[:dim]
+            base = logits[i, cls]
+            w = (base - ablated) / (jnp.abs(base) + 1e-8)      # [C]
+        cams.append(jnp.sum(w[None, :] * acts[i, 1:, :], axis=1))
+    cam = jnp.stack(cams).reshape(b, cs, cs, cs)
+    return finalize_cam(cam, grid, threshold), class_idx
+
+
+# --------------------------------------------------------------------------
+# Public API
+# --------------------------------------------------------------------------
+
+def compute_cam(model, variables: Dict, x, method: str = "gradcam",
+                threshold: float = None, score_batch: int = 32
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """CAM for ``x`` ([B, H, W, D] or [H, W, D]) by any menu method.
+
+    Returns ``(cam_3d, class_idx)`` with ``get_attention_map``'s squeeze
+    behavior. ``score_batch`` bounds the per-forward channel count of the
+    forward-only methods (the tutorial's ``cam.batch_size = 32``,
+    gradcam_original.py:93-96); they run dim/score_batch forwards per sample.
+    """
+    if method not in METHODS:
+        raise ValueError(f"method must be one of {METHODS}, got {method!r}")
+    if method == "gradcam-ref":
+        from neurovit_tpu.explainability.gradcam_vit3d import get_attention_map
+        return get_attention_map(model, variables, x)
+    params = variables["params"] if "params" in variables else variables
+    if threshold is None:
+        threshold = float(model.config["GRADCAM_THRESHOLD"])
+    x = jnp.asarray(x, jnp.float32)
+    squeeze = False
+    if x.ndim == 3:
+        x, squeeze = x[None], True
+    if method in GRAD_METHODS:
+        cam, class_idx = _grad_cam_jit(model, params, x, method, threshold)
+    else:
+        cam, class_idx = _forward_cam(model, params, x, method, threshold,
+                                      score_batch)
+    cam = np.asarray(cam)
+    if squeeze or cam.shape[0] == 1:
+        cam = cam[0]
+    return cam, np.asarray(class_idx)

@@ -24,7 +24,15 @@ def get_sample_gradcam(model, variables, dataset, sample_id: int,
     sample = dataset.sample(sample_id)
     volume = sample["volume"]
     print(f"ID: {sample_id} - Label: {sample['subject']}")
-    attention_map, class_idx = model.get_attention_map(variables, volume)
+    method = config.get("GRADCAM_METHOD", "gradcam-ref")
+    if method != "gradcam-ref":
+        # The tutorial's CAM-method menu (gradcam_original.py:59-68), native
+        # on the 3D ViT probe layer.
+        from neurovit_tpu.explainability.cam_methods import compute_cam
+        attention_map, class_idx = compute_cam(model, variables, volume,
+                                               method=method)
+    else:
+        attention_map, class_idx = model.get_attention_map(variables, volume)
     img, attn = model.visualize_slice(attention_map, volume)
     if save_sample_attention:
         save_gradcam_3d(attention_map, sample_id, sample, config)

@@ -25,12 +25,39 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _attention_map_jit(model, params: Dict, x: jax.Array,
-                       threshold: float) -> Tuple[jax.Array, jax.Array]:
-    """x: [B, H, W, D] -> (cam [B, grid, grid, grid] f32, class_idx [B])."""
-    grid = model.vit_cfg.image_size
-    patch = model.vit_cfg.image_patch_size
+def finalize_cam(cam: jax.Array, grid: int, threshold: float) -> jax.Array:
+    """Shared CAM tail (NeuroEncoder.py:117-131): ReLU -> per-sample min-max
+    norm -> percentile threshold -> trilinear upsample to [B, grid^3].
+
+    ``cam``: [B, cs, cs, cs] raw (possibly signed) patch-grid map.
+    All normalization reductions are PER SAMPLE: the reference runs with
+    B=1 (NeuroEncoder.py:118-123), so its global min/max/percentile ARE
+    per-sample — a batched call must not couple samples through shared
+    statistics.
+    """
+    b = cam.shape[0]
+    cam = jax.nn.relu(cam)
+    cam_min = cam.min(axis=(1, 2, 3), keepdims=True)
+    cam_max = cam.max(axis=(1, 2, 3), keepdims=True)
+    cam = (cam - cam_min) / (cam_max - cam_min + 1e-8)         # (…:120)
+    # Keep the top `threshold`% voxels (np.percentile(cam, 100-t), …:121-123).
+    flat = cam.reshape(b, -1)
+    threshold_value = jnp.percentile(flat, 100.0 - threshold,
+                                     axis=1)[:, None, None, None]
+    cam = jnp.where(cam >= threshold_value, cam, 0.0)
+    # Trilinear upsample with half-pixel centers == F.interpolate(mode=
+    # 'trilinear', align_corners=False) (…:126-131).
+    return jax.image.resize(cam, (b, grid, grid, grid), method="trilinear")
+
+
+def probe_acts_grads(model, params: Dict, x: jax.Array):
+    """One vjp-probe forward: (logits, class_idx, activations, gradients).
+
+    ``activations``/``gradients`` are the last attention block's LayerNorm
+    output and its gradient w.r.t. the argmax-class logit — the reference's
+    forward/backward hook captures (NeuroEncoder.py:70-82,94-98), shape
+    [B, num_patches+1, dim] (CLS token included).
+    """
     n_tokens = model.vit_cfg.num_patches + 1
     b = x.shape[0]
     probe_zero = jnp.zeros((b, n_tokens, model.vit_cfg.dim), jnp.float32)
@@ -44,6 +71,17 @@ def _attention_map_jit(model, params: Dict, x: jax.Array,
     class_idx = jnp.argmax(logits, axis=1)
     one_hot = jax.nn.one_hot(class_idx, logits.shape[-1], dtype=logits.dtype)
     (gradients,) = vjp_fn((one_hot, jnp.zeros_like(activations)))
+    return logits, class_idx, activations, gradients
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _attention_map_jit(model, params: Dict, x: jax.Array,
+                       threshold: float) -> Tuple[jax.Array, jax.Array]:
+    """x: [B, H, W, D] -> (cam [B, grid, grid, grid] f32, class_idx [B])."""
+    grid = model.vit_cfg.image_size
+    patch = model.vit_cfg.image_patch_size
+    b = x.shape[0]
+    _, class_idx, activations, gradients = probe_acts_grads(model, params, x)
 
     # Grad-CAM weights: mean gradient over the feature dim (NeuroEncoder.py:103).
     weights = jnp.mean(gradients, axis=2, keepdims=True)
@@ -51,22 +89,7 @@ def _attention_map_jit(model, params: Dict, x: jax.Array,
     cam = cam[:, 1:]                                  # drop CLS (…:112)
     cs = grid // patch
     cam = cam.reshape(b, cs, cs, cs)
-    cam = jax.nn.relu(cam)
-    # All normalization reductions are PER SAMPLE: the reference runs with
-    # B=1 (NeuroEncoder.py:118-123), so its global min/max/percentile ARE
-    # per-sample — a batched call must not couple samples through shared
-    # statistics.
-    cam_min = cam.min(axis=(1, 2, 3), keepdims=True)
-    cam_max = cam.max(axis=(1, 2, 3), keepdims=True)
-    cam = (cam - cam_min) / (cam_max - cam_min + 1e-8)         # (…:120)
-    # Keep the top `threshold`% voxels (np.percentile(cam, 100-t), …:121-123).
-    flat = cam.reshape(b, -1)
-    threshold_value = jnp.percentile(flat, 100.0 - threshold,
-                                     axis=1)[:, None, None, None]
-    cam = jnp.where(cam >= threshold_value, cam, 0.0)
-    # Trilinear upsample with half-pixel centers == F.interpolate(mode=
-    # 'trilinear', align_corners=False) (…:126-131).
-    cam_3d = jax.image.resize(cam, (b, grid, grid, grid), method="trilinear")
+    cam_3d = finalize_cam(cam, grid, threshold)
     return cam_3d, class_idx
 
 

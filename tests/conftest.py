@@ -22,9 +22,7 @@ jax.config.update("jax_enable_x64", False)
 import pytest  # noqa: E402
 
 
-@pytest.fixture
-def tiny_config(tmp_path):
-    """Small config that exercises the full stack on CPU quickly."""
+def _tiny_overrides(tmp_path):
     from neurovit_tpu.config import load_config
     # NB: patch must NOT tile the cube exactly — the patch-LayerNorm
     # (vit_3d.py:93 semantics) maps spatially-uniform patches to pure bias,
@@ -52,3 +50,16 @@ def tiny_config(tmp_path):
         "GLOBAL_OUTPUT_DIR": str(tmp_path / "runs"),
         "WANDB_ENABLED": False,
     })
+
+
+@pytest.fixture
+def tiny_config(tmp_path):
+    """Small config that exercises the full stack on CPU quickly."""
+    return _tiny_overrides(tmp_path)
+
+
+@pytest.fixture(scope="module")
+def tiny_config_module(tmp_path_factory):
+    """Module-scoped tiny_config: share one dataset/model across a module's
+    read-only tests (each module gets its own tmp dir)."""
+    return _tiny_overrides(tmp_path_factory.mktemp("tiny"))

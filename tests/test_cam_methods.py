@@ -1,0 +1,138 @@
+"""CAM method menu (cam_methods.py): the tutorial's method set, native 3D.
+
+Covers the framework equivalent of the reference's vendored
+pytorch_grad_cam ViT tutorial (explainability/activation_map/
+gradcam_original.py): every menu method must produce a valid normalized
+CAM, batched calls must match per-sample calls, the ablation probe must
+actually zero probe channels, and (slow tier) the gradient methods must
+localize the synthetic cube after training.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neurovit_tpu.data.synthetic import GradCAMDataset
+from neurovit_tpu.explainability import cam_methods
+from neurovit_tpu.models import NeuroEncoder
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_config_module):
+    config = dict(tiny_config_module, GRADCAM_TRAIN_PATH=None,
+                  GRADCAM_VAL_PATH=None)
+    ds = GradCAMDataset(config, "val")
+    model = NeuroEncoder(config)
+    variables = model.init(jax.random.key(0))
+    return config, ds, model, variables
+
+
+@pytest.mark.parametrize("method", cam_methods.METHODS)
+def test_every_method_shape_and_range(setup, method):
+    config, ds, model, variables = setup
+    grid = config["TRAINING_VIT_INPUT_SIZE"]
+    cam, class_idx = cam_methods.compute_cam(
+        model, variables, ds.sample(0)["volume"], method=method)
+    assert cam.shape == (grid, grid, grid)
+    assert np.isfinite(cam).all()
+    assert 0.0 <= cam.min() and cam.max() <= 1.0 + 1e-6
+    assert int(np.asarray(class_idx).ravel()[0]) in range(model.num_classes)
+    # The percentile threshold keeps the map sparse (same tail as the
+    # reference pipeline).
+    assert (cam > 0).mean() < 0.5
+
+
+def test_unknown_method_raises(setup):
+    _, ds, model, variables = setup
+    with pytest.raises(ValueError, match="method must be one of"):
+        cam_methods.compute_cam(model, variables, ds.sample(0)["volume"],
+                                method="fullgrad")
+
+
+def test_gradcam_ref_matches_get_attention_map(setup):
+    _, ds, model, variables = setup
+    v = ds.sample(0)["volume"]
+    cam_menu, idx_menu = cam_methods.compute_cam(model, variables, v,
+                                                 method="gradcam-ref")
+    cam_ref, idx_ref = model.get_attention_map(variables, v)
+    np.testing.assert_allclose(cam_menu, cam_ref, rtol=1e-6, atol=1e-7)
+    assert int(idx_menu[0]) == int(idx_ref[0])
+
+
+@pytest.mark.parametrize("method", ["gradcam", "gradcam++", "eigencam"])
+def test_batched_matches_per_sample(setup, method):
+    _, ds, model, variables = setup
+    v0, v1 = ds.sample(0)["volume"], ds.sample(1)["volume"]
+    cam_b, idx_b = cam_methods.compute_cam(model, variables,
+                                           np.stack([v0, v1]), method=method)
+    assert cam_b.shape == (2,) + v0.shape
+    for i, v in enumerate((v0, v1)):
+        cam_1, idx_1 = cam_methods.compute_cam(model, variables, v,
+                                               method=method)
+        assert int(idx_b[i]) == int(idx_1[0])
+        np.testing.assert_allclose(cam_b[i], cam_1, rtol=1e-4, atol=1e-5)
+
+
+def test_ablation_probe_zeroes_channel(setup):
+    """shift = -A * e_c through the additive probe must zero exactly that
+    channel of the probe activation (the AblationLayerVit contract)."""
+    _, ds, model, variables = setup
+    params = variables["params"]
+    x = jnp.asarray(ds.sample(0)["volume"], jnp.float32)[None]
+    _, acts = cam_methods._probe_forward_jit(model, params, x)
+    chan = jnp.asarray([3])
+    onehot = jax.nn.one_hot(chan, acts.shape[-1], dtype=jnp.float32)
+    shift = -acts * onehot[:, None, :]
+    _, aux = model.apply(params, x, deterministic=True, probe_shift=shift)
+    ablated = np.asarray(aux["probe"], np.float32)
+    np.testing.assert_allclose(ablated[..., 3], 0.0, atol=1e-5)
+    np.testing.assert_allclose(ablated[..., 4], np.asarray(acts)[..., 4],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_eigencam_sign_is_positive_mass(setup):
+    """The principal projection's sign is normalized so the ReLU tail keeps
+    the dominant component (a flipped sign would zero the whole map)."""
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(2, 27, 16), jnp.float32)
+    proj = np.asarray(cam_methods._principal_projection(a))
+    for b in range(2):
+        pos = np.maximum(proj[b], 0).sum()
+        neg = np.maximum(-proj[b], 0).sum()
+        assert pos >= neg
+
+
+@pytest.mark.slow
+def test_methods_localize_cube_after_training(tiny_config):
+    """Gradient and ablation methods must concentrate attention on the cube
+    once the classifier has learned it (the tutorial's visual QA, automated
+    — same protocol as test_gradcam_localization)."""
+    from neurovit_tpu.data import get_datasets
+    from neurovit_tpu.training import Trainer
+
+    config = dict(tiny_config)
+    config.update({"TRAINING_EPOCHS": 4, "TRAINING_LEARNING_RATE": 1e-3,
+                   "GRADCAM_NUM_SAMPLES": 160, "DATASET_GENERATE": True,
+                   "GRADCAM_THRESHOLD": 20})
+    ds_train, ds_val = get_datasets(config)
+    model = NeuroEncoder(config)
+    trainer = Trainer(config, model, ds_train, ds_val)
+    trainer.run()
+    acc = trainer.evaluate_samples()
+    assert acc > 0.8, f"model did not learn ({acc}); CAM check meaningless"
+    variables = {"params": trainer.train_state["params"]}
+
+    for method in ("gradcam", "gradcam++", "xgradcam", "layercam",
+                   "ablationcam"):
+        hits, total = 0, 0
+        for idx in range(4):
+            sample = ds_val.sample(idx)
+            cam, _ = cam_methods.compute_cam(model, variables,
+                                             sample["volume"], method=method)
+            cube = sample["volume"] == 1.0
+            total += 1
+            if cam[cube].mean() > cam[~cube].mean():
+                hits += 1
+        assert hits >= total // 2 + 1, \
+            f"{method} localization weak: {hits}/{total}"
