@@ -50,6 +50,12 @@ def main():
     args = parse_args()
     config = get_config(args)
 
+    # Persistent XLA compilation cache: restarts of an unchanged program
+    # skip the ~20-40 s TPU compile (utils/compile_cache.py).
+    from neurovit_tpu.utils import compile_cache
+    if compile_cache.maybe_enable(config):
+        print(f"Compilation cache: {config['GLOBAL_COMPILE_CACHE']}")
+
     # Multi-host pods: bring up the JAX coordination service before any
     # backend use (no-op on single-host runs; parallel/distributed.py).
     from neurovit_tpu.parallel import distributed

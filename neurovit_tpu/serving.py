@@ -177,6 +177,8 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     config = load_config(args.config)
+    from neurovit_tpu.utils import compile_cache
+    compile_cache.maybe_enable(config)
     ckpt_path = args.checkpoint or os.path.join(
         config.get("GLOBAL_BASE_PATH", "."), config["BEST_MODEL_PATH"])
     predictor = Predictor.from_checkpoint(config, ckpt_path,
