@@ -119,11 +119,26 @@ def conv3d(params, x, *, stride=(1, 1, 1), padding=(0, 0, 0)):
 def batch_norm(params, state, x, *, train: bool):
     """BatchNorm3d over N,D,H,W per channel (channels-last activations);
     returns (y, new_state)."""
+    import os
     xf = x.astype(jnp.float32)
     if train:
-        mean = jnp.mean(xf, axis=(0, 1, 2, 3))
-        var = jnp.var(xf, axis=(0, 1, 2, 3))
         n = x.shape[0] * x.shape[1] * x.shape[2] * x.shape[3]
+        if os.environ.get("NEUROVIT_BN_STATS", "one_pass") == "two_pass":
+            # A/B reference: jnp.var re-reads the activations after the
+            # mean reduction (measured 447.6 v/s vs 465.1 one-pass at
+            # ResNet-18 b128 — BENCH.md "ResNet").
+            mean = jnp.mean(xf, axis=(0, 1, 2, 3))
+            var = jnp.var(xf, axis=(0, 1, 2, 3))
+        else:
+            # Single sweep: sum and sum-of-squares are sibling reductions
+            # over the same operand (XLA fuses them into one pass);
+            # var = E[x^2] - mean^2. Post-conv activations are near
+            # zero-mean, so the cancellation risk is negligible in f32;
+            # clamp guards the pathological case.
+            s1 = jnp.sum(xf, axis=(0, 1, 2, 3))
+            s2 = jnp.sum(xf * xf, axis=(0, 1, 2, 3))
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - mean * mean, 0.0)
         # torch tracks the *unbiased* variance in running stats.
         unbiased = var * (n / max(n - 1, 1))
         new_state = {

@@ -170,7 +170,9 @@ def main(argv=None) -> None:
                         help="state-dict pickle / torch .pth "
                              "(default: BEST_MODEL_PATH)")
     parser.add_argument("--output", default="predictions.csv")
-    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--batch-size", type=int, default=128,
+                        help="compiled batch (sweep in BENCH.md: 128 is "
+                             "within ~2%% of peak at half the latency)")
     parser.add_argument("--no-crop", action="store_true",
                         help="skip the ADNI crop [1:, 10:-9, 1:] "
                              "(volumes already at model size)")

@@ -1,0 +1,74 @@
+"""Serving-forward throughput sweep: volumes/sec/chip vs batch size.
+
+Device-resident deterministic forward + softmax (the Predictor's compiled
+program, serving.py:53-58) on the flagship model. The training sweet spot
+is batch 128; serving has no optimizer/backward memory so larger batches
+may amortize better — this sweep finds the serving sweet spot.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    from neurovit_tpu.config import load_config
+    from neurovit_tpu.models import NeuroEncoder
+
+    config = load_config(overrides={
+        "DATASET_NAME": "gradcam",
+        "TRAINING_VIT_INPUT_SIZE": 90,
+        "TRAINING_VIT_PATCH_SIZE": 9,
+        "GRADCAM_CUBE_SIZE": 8,
+        "TRAINING_DROPOUT": 0.1,        # inert: deterministic forward
+        "TRAINING_PRECISION": "bf16",
+        "KERNEL_IMPL": "auto",
+    })
+    model = NeuroEncoder(config)
+    variables = model.init(jax.random.key(0))
+    params, state = variables["params"], variables.get("state")
+
+    @jax.jit
+    def forward(params, state, volumes):
+        logits, _ = model.apply(params, volumes, state=state,
+                                deterministic=True)
+        return jax.nn.softmax(logits, axis=-1)
+
+    # health check first: this box's TPU tunnel degrades sporadically.
+    t0 = time.perf_counter()
+    float(jax.jit(lambda a: a + 1)(jnp.ones(())))
+    print(f"health: trivial jit {time.perf_counter() - t0:.1f}s")
+
+    batches = [int(b) for b in
+               (sys.argv[1:] or ["64", "128", "192", "256"])]
+    for batch in batches:
+        x = jnp.asarray(np.random.RandomState(0).randn(batch, 90, 90, 90),
+                        jnp.float32)
+        try:
+            probs = forward(params, state, x)
+            float(probs[0, 0])
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                probs = forward(params, state, x)
+            float(probs[0, 0])
+            dt = time.perf_counter() - t0
+        except Exception as e:  # OOM etc.
+            print(f"batch {batch:4d}: FAILED ({type(e).__name__})")
+            continue
+        vps = batch * ITERS / dt
+        print(json.dumps({"batch": batch,
+                          "ms_per_batch": round(dt / ITERS * 1e3, 1),
+                          "volumes_per_sec": round(vps, 1)}))
+
+
+if __name__ == "__main__":
+    main()
