@@ -50,18 +50,21 @@ def main():
     args = parse_args()
     config = get_config(args)
 
+    # Multi-host pods: bring up the JAX coordination service before any
+    # backend use (no-op on single-host runs; parallel/distributed.py).
+    # MUST precede compile_cache.maybe_enable — that call touches
+    # jax.default_backend(), which initializes the backends and makes a
+    # later jax.distributed.initialize() raise.
+    from neurovit_tpu.parallel import distributed
+    if distributed.maybe_initialize(config):
+        print(f"Distributed runtime: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.device_count()} global devices")
+
     # Persistent XLA compilation cache: restarts of an unchanged program
     # skip the ~20-40 s TPU compile (utils/compile_cache.py).
     from neurovit_tpu.utils import compile_cache
     if compile_cache.maybe_enable(config):
         print(f"Compilation cache: {config['GLOBAL_COMPILE_CACHE']}")
-
-    # Multi-host pods: bring up the JAX coordination service before any
-    # backend use (no-op on single-host runs; parallel/distributed.py).
-    from neurovit_tpu.parallel import distributed
-    if distributed.maybe_initialize(config):
-        print(f"Distributed runtime: process {jax.process_index()}/"
-              f"{jax.process_count()}, {jax.device_count()} global devices")
 
     if not config["INFERENCE"] and not config["SWEEP"]:
         print("Training mode enabled.")

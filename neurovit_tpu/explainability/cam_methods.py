@@ -78,8 +78,11 @@ def _token_cam(method: str, acts: jax.Array, grads: jax.Array) -> jax.Array:
         w = g.mean(axis=1, keepdims=True)                      # [B, 1, C]
         return jnp.sum(w * a, axis=2)
     if method == "gradcam++":
+        # alpha_sc = g^2 / (2 g^2 + (sum_s A) * g^3): the spatial sum of the
+        # activations alone, broadcast against the per-position g^3
+        # (Chattopadhay 2018 eq. 19 / pytorch_grad_cam GradCAMPlusPlus).
         g2, g3 = g * g, g * g * g
-        denom = 2.0 * g2 + jnp.sum(a * g3, axis=1, keepdims=True)
+        denom = 2.0 * g2 + jnp.sum(a, axis=1, keepdims=True) * g3
         alpha = jnp.where(jnp.abs(denom) > 1e-12, g2 / denom, 0.0)
         w = jnp.sum(alpha * jax.nn.relu(g), axis=1, keepdims=True)
         return jnp.sum(w * a, axis=2)
@@ -190,7 +193,13 @@ def _forward_cam(model, params, x, method: str, threshold: float,
                 scores.append(lg[:, cls])
             ablated = jnp.concatenate(scores)[:dim]
             base = logits[i, cls]
-            w = (base - ablated) / (jnp.abs(base) + 1e-8)      # [C]
+            # w_c = (score - ablated_score) / score, SIGNED (upstream
+            # AblationCAM): with a negative target logit, a channel whose
+            # removal lowers the score further is still important — dividing
+            # by |score| would flip every weight's sign for such samples.
+            safe = jnp.where(jnp.abs(base) > 1e-8, base,
+                             jnp.where(base < 0, -1e-8, 1e-8))
+            w = (base - ablated) / safe                        # [C]
         cams.append(jnp.sum(w[None, :] * acts[i, 1:, :], axis=1))
     cam = jnp.stack(cams).reshape(b, cs, cs, cs)
     return finalize_cam(cam, grid, threshold), class_idx
@@ -214,7 +223,7 @@ def compute_cam(model, variables: Dict, x, method: str = "gradcam",
         raise ValueError(f"method must be one of {METHODS}, got {method!r}")
     if method == "gradcam-ref":
         from neurovit_tpu.explainability.gradcam_vit3d import get_attention_map
-        return get_attention_map(model, variables, x)
+        return get_attention_map(model, variables, x, threshold=threshold)
     params = variables["params"] if "params" in variables else variables
     if threshold is None:
         threshold = float(model.config["GRADCAM_THRESHOLD"])

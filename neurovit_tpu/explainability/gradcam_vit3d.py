@@ -93,19 +93,22 @@ def _attention_map_jit(model, params: Dict, x: jax.Array,
     return cam_3d, class_idx
 
 
-def get_attention_map(model, variables: Dict, x) -> Tuple[np.ndarray, np.ndarray]:
+def get_attention_map(model, variables: Dict, x, threshold: float = None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
     """API parity with NeuroEncoder.get_attention_map (x: [B,H,W,D]).
 
     Returns (cam_3d, class_idx); for B=1 the cam is squeezed to [grid]^3,
-    matching the reference's ``.squeeze()``.
+    matching the reference's ``.squeeze()``. ``threshold`` overrides the
+    config's GRADCAM_THRESHOLD (percent of voxels kept).
     """
     params = variables["params"] if "params" in variables else variables
+    if threshold is None:
+        threshold = float(model.config["GRADCAM_THRESHOLD"])
     x = jnp.asarray(x, jnp.float32)
     squeeze = False
     if x.ndim == 3:
         x, squeeze = x[None], True
-    cam, class_idx = _attention_map_jit(
-        model, params, x, float(model.config["GRADCAM_THRESHOLD"]))
+    cam, class_idx = _attention_map_jit(model, params, x, float(threshold))
     cam = np.asarray(cam)
     if squeeze or cam.shape[0] == 1:
         cam = cam[0]

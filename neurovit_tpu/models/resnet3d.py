@@ -23,6 +23,7 @@ the chip; BENCH.md "ResNet").
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -118,8 +119,13 @@ def conv3d(params, x, *, stride=(1, 1, 1), padding=(0, 0, 0)):
 
 def batch_norm(params, state, x, *, train: bool):
     """BatchNorm3d over N,D,H,W per channel (channels-last activations);
-    returns (y, new_state)."""
-    import os
+    returns (y, new_state).
+
+    NEUROVIT_BN_STATS is read at TRACE time: it selects which stats program
+    gets compiled, so it must be set before the first jitted step of the
+    process (the A/B benches run separate processes). Flipping it afterwards
+    does not retrace.
+    """
     xf = x.astype(jnp.float32)
     if train:
         n = x.shape[0] * x.shape[1] * x.shape[2] * x.shape[3]

@@ -98,8 +98,10 @@ def bench_chain(M, K, N, tag, reps=8):
             return acc + jnp.sum(y), None
         return jax.lax.scan(body, jnp.int32(0), xs)[0]
 
+    w_scale = jnp.asarray(np.abs(rng.randn(N)) * 0.01, jnp.float32)
+
     @jax.jit
-    def chain_dynquant(xs, w):
+    def chain_dynquant(xs, w, w_scale):
         def body(acc, x):
             absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1,
                              keepdims=True)
@@ -108,14 +110,17 @@ def bench_chain(M, K, N, tag, reps=8):
                           -127, 127).astype(jnp.int8)
             y = jax.lax.dot_general(xq, w, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32)
-            return acc + jnp.sum(y.astype(jnp.float32) * s), None
+            # full dequant epilogue (per-row act scale x per-col weight
+            # scale) — same cost as the drop-in quantized Linear.
+            return acc + jnp.sum(y.astype(jnp.float32) * s
+                                 * w_scale[None, :]), None
         return jax.lax.scan(body, jnp.float32(0), xs)[0]
 
     t = timeit(chain_bf16, xs, w, iters=10)
     print(f"{tag} chain bf16     : {t*1e3:7.2f} ms  {flops/t/1e12:6.1f} TF/s")
     t = timeit(chain_int8, xi8, wi8, iters=10)
     print(f"{tag} chain int8     : {t*1e3:7.2f} ms  {flops/t/1e12:6.1f} TOP/s")
-    t = timeit(chain_dynquant, xs, wi8, iters=10)
+    t = timeit(chain_dynquant, xs, wi8, w_scale, iters=10)
     print(f"{tag} chain dynquant : {t*1e3:7.2f} ms  {flops/t/1e12:6.1f} TOP/s")
 
 

@@ -91,6 +91,46 @@ def test_ablation_probe_zeroes_channel(setup):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_gradcam_pp_formula_matches_upstream(setup):
+    """Pin the gradcam++ alphas to the upstream pytorch_grad_cam formula:
+    alpha = g^2 / (2 g^2 + (sum_s A) * g^3)."""
+    rng = np.random.RandomState(0)
+    a = rng.randn(2, 27, 16).astype(np.float32)
+    g = rng.randn(2, 27, 16).astype(np.float32)
+    got = np.asarray(cam_methods._token_cam(
+        "gradcam++", jnp.asarray(a), jnp.asarray(g)))
+    denom = 2.0 * g**2 + a.sum(axis=1, keepdims=True) * g**3
+    alpha = np.where(np.abs(denom) > 1e-12, g**2 / denom, 0.0)
+    w = (alpha * np.maximum(g, 0)).sum(axis=1, keepdims=True)
+    want = (w * a).sum(axis=2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_xgradcam_formula(setup):
+    rng = np.random.RandomState(1)
+    a = rng.rand(1, 27, 16).astype(np.float32)
+    g = rng.randn(1, 27, 16).astype(np.float32)
+    got = np.asarray(cam_methods._token_cam(
+        "xgradcam", jnp.asarray(a), jnp.asarray(g)))
+    w = (g * a).sum(axis=1, keepdims=True) / (a.sum(axis=1, keepdims=True)
+                                              + 1e-8)
+    np.testing.assert_allclose(got, (w * a).sum(axis=2), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_threshold_kwarg_controls_sparsity(setup):
+    """Explicit threshold overrides GRADCAM_THRESHOLD for every method,
+    including the gradcam-ref delegation."""
+    _, ds, model, variables = setup
+    v = ds.sample(0)["volume"]
+    for method in ("gradcam", "gradcam-ref"):
+        tight, _ = cam_methods.compute_cam(model, variables, v,
+                                           method=method, threshold=2.0)
+        loose, _ = cam_methods.compute_cam(model, variables, v,
+                                           method=method, threshold=50.0)
+        assert (tight > 0).mean() < (loose > 0).mean()
+
+
 def test_eigencam_sign_is_positive_mass(setup):
     """The principal projection's sign is normalized so the ReLU tail keeps
     the dominant component (a flipped sign would zero the whole map)."""
