@@ -37,6 +37,16 @@ FullGrad is not reproduced: it decomposes the score into per-layer *bias*
 gradients over every norm layer in the network, which is a different capture
 contract than the single probe layer all other methods (and the reference's
 hooks) share; the tutorial never ran it on the 3D model either.
+
+Method-quality caveat (measured, tests/test_cam_methods.py): the probe layer
+is a LayerNorm output — zero-centered and SIGNED — while gradcam/gradcam++/
+ablationcam/eigencam were derived for non-negative CNN feature maps. On a
+trained cube-task model the robust localizers here are ``xgradcam`` and
+``scorecam`` (8/8 val samples) and the reference's own ``gradcam-ref``
+(7/8); ``layercam``/``eigengradcam`` are middling (5/8) and the rest are
+unreliable on this layer (2-3/8) despite reproducing the upstream formulas
+exactly (numerically pinned in tests). This mirrors upstream pytorch_grad_cam
+behavior on ViTs, where method choice matters far more than on CNNs.
 """
 
 from __future__ import annotations
