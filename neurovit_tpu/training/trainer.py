@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import datetime
 import os
+import signal
+import threading
 import time
 from typing import Any, Dict, Optional
 
@@ -75,6 +77,7 @@ class Trainer:
 
         self.data = dataset_train
         self.val_data = dataset_val
+        self._preempt_requested = False
         seed = config.get("TRAINING_SEED", 42)
         # Multi-host: each process loads a disjoint 1/world slice of the
         # index space (same shuffle everywhere, equal batch counts) and
@@ -242,6 +245,58 @@ class Trainer:
             self._plateau_bad_epochs = int(plateau["bad"])
         self.train_state = restored
 
+    # ---- preemption-safe checkpointing ---------------------------------
+    # TPU workers get preempted/maintenance-rescheduled routinely in
+    # production; SIGTERM is the warning shot. The reference loses the whole
+    # run (bare per-epoch weight saves, no optimizer/epoch state — SURVEY
+    # §5.4); here the signal requests a full train-state save at the next
+    # batch boundary, resumable with --resume.
+
+    def request_preempt(self, *_args) -> None:
+        """Ask the trainer to checkpoint and stop at the next safe boundary.
+        Signal-handler safe: only sets a flag."""
+        self._preempt_requested = True
+
+    def _install_preempt_handlers(self):
+        """SIGTERM/SIGINT -> request_preempt, for the duration of run().
+        Returns a restore() callback. First signal requests the graceful
+        save; the original handler is re-installed immediately so a second
+        signal falls through (a stuck save stays interruptible)."""
+        if not self.config.get("TRAINING_PREEMPTION_SAVE", True):
+            return lambda: None
+        if threading.current_thread() is not threading.main_thread():
+            return lambda: None        # signal.signal: main thread only
+        previous = {}
+
+        def handler(sig, _frame):
+            self.request_preempt()
+            signal.signal(sig, previous[sig])
+            print(f"Signal {sig}: saving train state at the next batch "
+                  f"boundary (repeat to force-stop)")
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                previous[sig] = signal.signal(sig, handler)
+            except (ValueError, OSError):
+                pass
+
+        def restore():
+            for sig, old in previous.items():
+                if signal.getsignal(sig) is handler:
+                    signal.signal(sig, old)
+        return restore
+
+    def _maybe_preempt_save(self, path: str) -> bool:
+        if not self._preempt_requested:
+            return False
+        save_path = os.path.join(path, "model-preempt")
+        # train_state["epoch"] still holds the in-progress epoch, so a
+        # --resume re-runs it from the top with consistent optimizer/RNG.
+        ckpt.save_train_state(save_path, self._checkpoint_state(), self.model)
+        print(f"PREEMPTED: train state saved to .{save_path}  "
+              f"(resume with --resume {save_path})")
+        return True
+
     def run(self) -> None:
         timestamp = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
         path = f"{self.output_dir}/{timestamp}"
@@ -250,15 +305,26 @@ class Trainer:
         print(f"Running on mesh: {dict(self.mesh.shape)} "
               f"({jax.default_backend()})")
         start_epoch = int(self.train_state["epoch"])
-        for epoch in range(start_epoch, self.epochs):
-            self.train(epoch)
-            self.validate(epoch)
-            self.train_state["epoch"] = self._replicate(
-                jnp.asarray(epoch + 1, jnp.int32))
-            ckpt.save_train_state(os.path.join(path, f"model-e{epoch}"),
-                                  self._checkpoint_state(), self.model)
-            ckpt.save_last_model(self.train_state, self.model)
-            print(f"MODEL SAVED to .{path}/model-e{epoch}")
+        restore_handlers = self._install_preempt_handlers()
+        try:
+            for epoch in range(start_epoch, self.epochs):
+                self.train(epoch)
+                if self._maybe_preempt_save(path):
+                    return
+                self.validate(epoch)
+                self.train_state["epoch"] = self._replicate(
+                    jnp.asarray(epoch + 1, jnp.int32))
+                ckpt.save_train_state(os.path.join(path, f"model-e{epoch}"),
+                                      self._checkpoint_state(), self.model)
+                ckpt.save_last_model(self.train_state, self.model)
+                print(f"MODEL SAVED to .{path}/model-e{epoch}")
+                if self._preempt_requested:
+                    # The per-epoch checkpoint just written IS the resume
+                    # point; no extra save needed.
+                    print(f"PREEMPTED: exiting after epoch {epoch} save")
+                    return
+        finally:
+            restore_handlers()
 
     def _device_prefetch(self, loader):
         """Yield device-resident batches one transfer ahead of consumption,
@@ -285,6 +351,8 @@ class Trainer:
                          if epoch == 0 else 0)
         for i, (batch, zyx) in enumerate(
                 self._device_prefetch(self.dataloader)):
+            if self._preempt_requested:
+                break                    # run() saves the preempt state
             if profile_steps and i == 2:
                 jax.profiler.start_trace(
                     os.path.join(self.output_dir, "profile"))
