@@ -4,8 +4,9 @@ eigengradcam/scorecam/ablationcam on the Grad-CAM probe layer.
 The reference vendors the upstream pytorch_grad_cam ViT tutorial
 (``explainability/activation_map/gradcam_original.py``) whose whole point is
 a *menu* of CAM methods over a ViT target layer with a ``reshape_transform``
-(gradcam_original.py:59-68,73). Rather than copy a 2D DeiT demo, this module
-provides the same method menu natively for the framework's own 3D ViT: every
+(gradcam_original.py:59-68,73). This module provides that method menu
+natively for the framework's own 3D ViT (the tutorial's 2D image workflow
+itself lives in the sibling ``vit_cam_2d`` module): every
 method consumes the (activations, gradients) that the hook-free vjp probe
 already exposes (``gradcam_vit3d.probe_acts_grads`` — the analog of the
 tutorial's ``model.blocks[-1].norm1`` target layer), computes its token-space
@@ -81,13 +82,26 @@ def _principal_projection(x: jax.Array) -> jax.Array:
     return proj * jnp.where(sign == 0, 1.0, sign)
 
 
-def _token_cam(method: str, acts: jax.Array, grads: jax.Array) -> jax.Array:
-    """[B, S, C] activations/gradients -> [B, S] raw token map."""
+def _token_cam(method: str, acts: jax.Array, grads: jax.Array,
+               eigen_smooth: bool = False) -> jax.Array:
+    """[B, S, C] activations/gradients -> [B, S] raw token map.
+
+    ``eigen_smooth`` reproduces the tutorial's ``--eigen_smooth`` flag
+    (gradcam_original.py:27,96): instead of summing the weighted activations
+    over channels, project onto their first principal component
+    (pytorch_grad_cam BaseCAM.get_cam_image) — "reduce noise by taking the
+    first principle component of cam_weights*activations". The eigen methods
+    are already projections and ignore the flag.
+    """
     a, g = acts, grads
+    if method == "eigencam":
+        return _principal_projection(a)
+    if method == "eigengradcam":
+        return _principal_projection(g * a)
     if method == "gradcam":
         w = g.mean(axis=1, keepdims=True)                      # [B, 1, C]
-        return jnp.sum(w * a, axis=2)
-    if method == "gradcam++":
+        weighted = w * a
+    elif method == "gradcam++":
         # alpha_sc = g^2 / (2 g^2 + (sum_s A) * g^3): the spatial sum of the
         # activations alone, broadcast against the per-position g^3
         # (Chattopadhay 2018 eq. 19 / pytorch_grad_cam GradCAMPlusPlus).
@@ -95,30 +109,30 @@ def _token_cam(method: str, acts: jax.Array, grads: jax.Array) -> jax.Array:
         denom = 2.0 * g2 + jnp.sum(a, axis=1, keepdims=True) * g3
         alpha = jnp.where(jnp.abs(denom) > 1e-12, g2 / denom, 0.0)
         w = jnp.sum(alpha * jax.nn.relu(g), axis=1, keepdims=True)
-        return jnp.sum(w * a, axis=2)
-    if method == "xgradcam":
+        weighted = w * a
+    elif method == "xgradcam":
         w = (jnp.sum(g * a, axis=1, keepdims=True)
              / (jnp.sum(a, axis=1, keepdims=True) + 1e-8))
-        return jnp.sum(w * a, axis=2)
-    if method == "layercam":
-        return jnp.sum(jax.nn.relu(g) * a, axis=2)
-    if method == "eigencam":
-        return _principal_projection(a)
-    if method == "eigengradcam":
-        return _principal_projection(g * a)
-    raise ValueError(f"unknown gradient CAM method: {method}")
+        weighted = w * a
+    elif method == "layercam":
+        weighted = jax.nn.relu(g) * a
+    else:
+        raise ValueError(f"unknown gradient CAM method: {method}")
+    if eigen_smooth:
+        return _principal_projection(weighted)
+    return jnp.sum(weighted, axis=2)
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def _grad_cam_jit(model, params: Dict, x: jax.Array, method: str,
-                  threshold: float) -> Tuple[jax.Array, jax.Array]:
-    grid = model.vit_cfg.image_size
-    cs = grid // model.vit_cfg.image_patch_size
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def _grad_cam_raw_jit(model, params: Dict, x: jax.Array, method: str,
+                      eigen_smooth: bool) -> Tuple[jax.Array, jax.Array]:
+    """Raw (pre-normalization) patch-grid CAM [B, cs, cs, cs] + class_idx."""
+    cs = model.vit_cfg.image_size // model.vit_cfg.image_patch_size
     b = x.shape[0]
     _, class_idx, acts, grads = probe_acts_grads(model, params, x)
-    cam = _token_cam(method, acts[:, 1:], grads[:, 1:])        # drop CLS
-    cam_3d = finalize_cam(cam.reshape(b, cs, cs, cs), grid, threshold)
-    return cam_3d, class_idx
+    cam = _token_cam(method, acts[:, 1:], grads[:, 1:],        # drop CLS
+                     eigen_smooth)
+    return cam.reshape(b, cs, cs, cs), class_idx
 
 
 # --------------------------------------------------------------------------
@@ -169,8 +183,8 @@ def _ablation_chunk_jit(model, params, x1, acts1, channels):
     return logits
 
 
-def _forward_cam(model, params, x, method: str, threshold: float,
-                 score_batch: int) -> Tuple[jax.Array, jax.Array]:
+def _forward_cam_raw(model, params, x, method: str, score_batch: int,
+                     eigen_smooth: bool) -> Tuple[jax.Array, jax.Array]:
     grid = model.vit_cfg.image_size
     cs = grid // model.vit_cfg.image_patch_size
     dim = model.vit_cfg.dim
@@ -210,9 +224,10 @@ def _forward_cam(model, params, x, method: str, threshold: float,
             safe = jnp.where(jnp.abs(base) > 1e-8, base,
                              jnp.where(base < 0, -1e-8, 1e-8))
             w = (base - ablated) / safe                        # [C]
-        cams.append(jnp.sum(w[None, :] * acts[i, 1:, :], axis=1))
-    cam = jnp.stack(cams).reshape(b, cs, cs, cs)
-    return finalize_cam(cam, grid, threshold), class_idx
+        weighted = w[None, None, :] * acts[i:i + 1, 1:, :]     # [1, S, C]
+        cams.append(_principal_projection(weighted)[0] if eigen_smooth
+                    else jnp.sum(weighted[0], axis=1))
+    return jnp.stack(cams).reshape(b, cs, cs, cs), class_idx
 
 
 # --------------------------------------------------------------------------
@@ -220,7 +235,8 @@ def _forward_cam(model, params, x, method: str, threshold: float,
 # --------------------------------------------------------------------------
 
 def compute_cam(model, variables: Dict, x, method: str = "gradcam",
-                threshold: float = None, score_batch: int = 32
+                threshold: float = None, score_batch: int = 32,
+                aug_smooth: bool = False, eigen_smooth: bool = False
                 ) -> Tuple[np.ndarray, np.ndarray]:
     """CAM for ``x`` ([B, H, W, D] or [H, W, D]) by any menu method.
 
@@ -228,25 +244,55 @@ def compute_cam(model, variables: Dict, x, method: str = "gradcam",
     behavior. ``score_batch`` bounds the per-forward channel count of the
     forward-only methods (the tutorial's ``cam.batch_size = 32``,
     gradcam_original.py:93-96); they run dim/score_batch forwards per sample.
+
+    ``aug_smooth``/``eigen_smooth`` reproduce the tutorial's CLI flags
+    (gradcam_original.py:25-27,96). aug_smooth averages the raw patch-grid
+    CAM over test-time augmentations — the horizontal flip x intensity
+    {0.9, 1.0, 1.1} menu of pytorch_grad_cam's forward_augmentation_
+    smoothing, with the flipped CAMs flipped back before averaging — and
+    runs the shared tail once on the average. The input's W axis (axis 2 of
+    [B, H, W, D]) maps to axis 3 of the patch-grid CAM (the encoder permutes
+    to [B, 1, D, H, W] before patchify, neuro_encoder.py:113).
+    eigen_smooth projects weighted activations onto their first principal
+    component instead of channel-summing (see ``_token_cam``).
     """
     if method not in METHODS:
         raise ValueError(f"method must be one of {METHODS}, got {method!r}")
     if method == "gradcam-ref":
+        if aug_smooth or eigen_smooth:
+            raise ValueError("gradcam-ref reproduces the reference's own "
+                             "pipeline, which has no smoothing flags")
         from neurovit_tpu.explainability.gradcam_vit3d import get_attention_map
         return get_attention_map(model, variables, x, threshold=threshold)
     params = variables["params"] if "params" in variables else variables
     if threshold is None:
         threshold = float(model.config["GRADCAM_THRESHOLD"])
+    grid = model.vit_cfg.image_size
     x = jnp.asarray(x, jnp.float32)
     squeeze = False
     if x.ndim == 3:
         x, squeeze = x[None], True
-    if method in GRAD_METHODS:
-        cam, class_idx = _grad_cam_jit(model, params, x, method, threshold)
-    else:
-        cam, class_idx = _forward_cam(model, params, x, method, threshold,
-                                      score_batch)
-    cam = np.asarray(cam)
+
+    def raw_cam(xv):
+        if method in GRAD_METHODS:
+            return _grad_cam_raw_jit(model, params, xv, method, eigen_smooth)
+        return _forward_cam_raw(model, params, xv, method, score_batch,
+                                eigen_smooth)
+
+    cam, class_idx = raw_cam(x)
+    if aug_smooth:
+        cams = [cam]
+        for flip in (False, True):
+            for scale in (0.9, 1.0, 1.1):
+                if not flip and scale == 1.0:
+                    continue            # identity: already computed
+                xi = x * scale
+                if flip:
+                    xi = xi[:, :, ::-1, :]
+                cam_i, _ = raw_cam(xi)
+                cams.append(cam_i[:, :, :, ::-1] if flip else cam_i)
+        cam = jnp.mean(jnp.stack(cams), axis=0)
+    cam = np.asarray(finalize_cam(cam, grid, float(threshold)))
     if squeeze or cam.shape[0] == 1:
         cam = cam[0]
     return cam, np.asarray(class_idx)

@@ -185,3 +185,52 @@ def test_methods_localize_cube_after_training(tiny_config):
                 hits += 1
         assert hits >= total // 2 + 1, \
             f"{method} localization weak: {hits}/{total}"
+
+
+def test_eigen_smooth_valid_and_differs(setup):
+    """--eigen_smooth (gradcam_original.py:26-27,96): principal-component
+    reduction of the weighted activations, for gradient and forward
+    methods; eigen methods are already projections and are unchanged."""
+    _, ds, model, variables = setup
+    v = ds.sample(0)["volume"]
+    for method in ("gradcam", "ablationcam"):
+        plain, idx_p = cam_methods.compute_cam(model, variables, v,
+                                               method=method)
+        smooth, idx_s = cam_methods.compute_cam(model, variables, v,
+                                                method=method,
+                                                eigen_smooth=True)
+        assert smooth.shape == plain.shape
+        assert np.isfinite(smooth).all()
+        assert 0.0 <= smooth.min() and smooth.max() <= 1.0 + 1e-6
+        assert int(idx_s[0]) == int(idx_p[0])
+        assert not np.allclose(smooth, plain)
+    same, _ = cam_methods.compute_cam(model, variables, v, method="eigencam",
+                                      eigen_smooth=True)
+    base, _ = cam_methods.compute_cam(model, variables, v, method="eigencam")
+    np.testing.assert_allclose(same, base, rtol=1e-5, atol=1e-6)
+
+
+def test_aug_smooth_valid_map(setup):
+    """--aug_smooth (gradcam_original.py:25,96): flip x intensity test-time
+    augmentation averaging in raw-CAM space."""
+    _, ds, model, variables = setup
+    v = ds.sample(0)["volume"]
+    plain, idx_p = cam_methods.compute_cam(model, variables, v,
+                                           method="gradcam")
+    smooth, idx_s = cam_methods.compute_cam(model, variables, v,
+                                            method="gradcam", aug_smooth=True)
+    assert smooth.shape == plain.shape
+    assert np.isfinite(smooth).all()
+    assert 0.0 <= smooth.min() and smooth.max() <= 1.0 + 1e-6
+    # class_idx comes from the unaugmented forward
+    assert int(idx_s[0]) == int(idx_p[0])
+    assert not np.allclose(smooth, plain)
+
+
+def test_smoothing_flags_rejected_for_ref_variant(setup):
+    _, ds, model, variables = setup
+    v = ds.sample(0)["volume"]
+    for kwargs in ({"aug_smooth": True}, {"eigen_smooth": True}):
+        with pytest.raises(ValueError, match="no smoothing flags"):
+            cam_methods.compute_cam(model, variables, v,
+                                    method="gradcam-ref", **kwargs)
