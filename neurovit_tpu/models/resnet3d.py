@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -170,6 +171,137 @@ def max_pool3d(x, ksize=3, stride=2, padding=1):
         padding=pads)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def max_pool3d_taps(x, ksize=3, stride=2, padding=1):
+    """``max_pool3d`` with a scatter-free hand-written backward.
+
+    XLA derives ``reduce_window``'s gradient as select-and-scatter, whose
+    TPU lowering costs ~29 ms of the b64 ResNet step (BENCH.md "ResNet").
+    The forward here IS reduce_window (bit-identical values); the custom
+    backward re-slices the padded input into its ksize^3 strided taps,
+    masks the upstream gradient where a tap equals the window max, and
+    routes each tap's share back with an interior-dilated ``lax.pad`` (the
+    exact transpose of a strided slice) — all fusable elementwise work, no
+    select-and-scatter. Within-window ties split the gradient equally
+    (JAX's reduce-max convention) where torch routes it to one winner; ties
+    in post-BN+ReLU activations occur only at exact ReLU zeros, whose
+    gradient then dies in the ReLU backward anyway.
+    """
+    return max_pool3d(x, ksize, stride, padding)
+
+
+def _max_pool3d_taps_fwd(x, ksize, stride, padding):
+    out = max_pool3d(x, ksize, stride, padding)
+    return out, (x, out)
+
+
+def _max_pool3d_taps_bwd(ksize, stride, padding, res, g):
+    """Polyphase (parity-sliced) max-pool gradient.
+
+    An input position p = q*stride + r (per dim) is covered by exactly the
+    windows w = q - j for j in J(r) = {j : r + stride*j < ksize}; its
+    gradient is the sum of share[w] over the covering windows whose max it
+    attains. Computing dx one parity class at a time keeps every temp at
+    out-size / (input-size / stride^3) — the naive transpose (27 interior-
+    dilated full-size pads) materializes ~27x the input and OOMs at real
+    batch sizes. The parity slices are then re-interleaved with
+    stack+reshape (the inverse of the strided slicing).
+    """
+    x, out = res
+    # The gradient is independent per sample; computing it in batch chunks
+    # (sequential lax.map over the leading axis) bounds the live temps —
+    # the all-at-once program peaks near ~6x the input size, which OOMs at
+    # ResNet bench batches. Chunking trades nothing measurable: the work
+    # per chunk is still large fused elementwise sweeps.
+    chunk = int(os.environ.get("NEUROVIT_MAXPOOL_BWD_CHUNK", "8"))
+    if x.shape[0] > chunk and x.shape[0] % chunk == 0:
+        n = x.shape[0] // chunk
+        dx = jax.lax.map(
+            lambda t: _max_pool3d_taps_bwd(ksize, stride, padding,
+                                           (t[0], t[1]), t[2])[0],
+            (x.reshape((n, chunk) + x.shape[1:]),
+             out.reshape((n, chunk) + out.shape[1:]),
+             g.reshape((n, chunk) + g.shape[1:])))
+        return (dx.reshape(x.shape),)
+    B, C = x.shape[0], x.shape[4]
+    s = stride
+    neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+           else jnp.iinfo(x.dtype).min)
+    # Pad each spatial dim to a multiple of stride so all parity slices
+    # have equal length Q (extra high padding is sliced off at the end).
+    padded = [d + 2 * padding for d in x.shape[1:4]]
+    extra = [(-p) % s for p in padded]
+    xp = jnp.pad(
+        x, [(0, 0)] + [(padding, padding + e) for e in extra] + [(0, 0)],
+        constant_values=neg)
+    Q = [(p + e) // s for p, e in zip(padded, extra)]
+    out_sz = out.shape[1:4]
+    span = [(n - 1) * s + 1 for n in out_sz]
+
+    def tap(kd, kh, kw):
+        return jax.lax.slice(
+            xp, (0, kd, kh, kw, 0),
+            (B, kd + span[0], kh + span[1], kw + span[2], C),
+            (1, s, s, s, 1))
+
+    count = sum((tap(kd, kh, kw) == out).astype(jnp.float32)
+                for kd in range(ksize) for kh in range(ksize)
+                for kw in range(ksize))                 # >= 1: max attained
+    share = (g.astype(jnp.float32) / count).astype(g.dtype)
+    zero = jnp.zeros((), g.dtype)
+
+    def shift(arr, j):
+        """arr_shift[..., q, ...] = arr[..., q - j, ...] on the Q grid.
+
+        Out-of-range entries only need share==0 (the eq mask is irrelevant
+        when the share term is zero), so zero-fill is safe for both arrays.
+        """
+        take = [min(o, q - ji) for o, q, ji in zip(out_sz, Q, j)]
+        arr = arr[:, :take[0], :take[1], :take[2], :]
+        cfg = [(0, 0)] + [(ji, q - ji - t)
+                          for ji, q, t in zip(j, Q, take)] + [(0, 0)]
+        return jnp.pad(arr, cfg)
+
+    def J(r):
+        return range(-(-(ksize - r) // s))              # r + s*j < ksize
+
+    rows_d = []
+    for rd in range(s):
+        rows_h = []
+        for rh in range(s):
+            rows_w = []
+            for rw in range(s):
+                xpar = jax.lax.slice(
+                    xp, (0, rd, rh, rw, 0),
+                    (B, rd + (Q[0] - 1) * s + 1, rh + (Q[1] - 1) * s + 1,
+                     rw + (Q[2] - 1) * s + 1, C),
+                    (1, s, s, s, 1))
+                acc = None
+                for jd in J(rd):
+                    for jh in J(rh):
+                        for jw in J(rw):
+                            j = (jd, jh, jw)
+                            term = jnp.where(xpar == shift(out, j),
+                                             shift(share, j), zero)
+                            acc = term if acc is None else acc + term
+                rows_w.append(acc)
+            # Interleave the w parities: [B,Qd,Qh,Qw,s,C] -> w index q*s+r.
+            rw_stack = jnp.stack(rows_w, axis=4)
+            rows_h.append(rw_stack.reshape(B, Q[0], Q[1], Q[2] * s, C))
+        rh_stack = jnp.stack(rows_h, axis=3)
+        rows_d.append(rh_stack.reshape(B, Q[0], Q[1] * s, Q[2] * s, C))
+    dxp = jnp.stack(rows_d, axis=2).reshape(
+        B, Q[0] * s, Q[1] * s, Q[2] * s, C)
+    dx = jax.lax.slice(
+        dxp, (0, padding, padding, padding, 0),
+        (B, padding + x.shape[1], padding + x.shape[2],
+         padding + x.shape[3], C))
+    return (dx,)
+
+
+max_pool3d_taps.defvjp(_max_pool3d_taps_fwd, _max_pool3d_taps_bwd)
+
+
 # --------------------------------------------------------------------------
 # Blocks
 # --------------------------------------------------------------------------
@@ -309,7 +441,16 @@ def apply(params: dict, state: dict, x: jax.Array, cfg: ResNetConfig, *,
     out, new_state["bn1"] = batch_norm(params["bn1"], state["bn1"], out, train=train)
     out = jax.nn.relu(out)
     if not cfg.no_max_pool:
-        out = max_pool3d(out)
+        # reduce_window + autodiff (select-and-scatter backward) by
+        # default: every measured alternative LOST on-chip (BENCH.md
+        # "ResNet" negative results — tap-stack 84 ms vs 24 ms backward,
+        # separable 1-D pools 1.8x slower). NEUROVIT_MAXPOOL=taps keeps
+        # the scatter-free formulation available for A/B on other
+        # hardware generations.
+        if os.environ.get("NEUROVIT_MAXPOOL", "xla") == "taps":
+            out = max_pool3d_taps(out)
+        else:
+            out = max_pool3d(out)
 
     apply_block = (_apply_basic_block if cfg.block_kind == "basic"
                    else _apply_bottleneck)

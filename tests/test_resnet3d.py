@@ -65,6 +65,32 @@ def test_max_pool3d_matches_torch():
                                theirs, atol=1e-6)
 
 
+def test_max_pool3d_taps_grad_matches_autodiff():
+    """The scatter-free backward equals reduce_window's autodiff gradient.
+
+    Random continuous inputs are tie-free, so the equal-split tie
+    convention never fires and the two must agree to float rounding.
+    Covers the stem config plus stride-1 / even-kernel / odd-dim shapes
+    (parity slices of unequal natural length exercise the high-padding).
+    """
+    rng = np.random.RandomState(3)
+    for shape, cfg in [((2, 10, 9, 7, 4), dict(ksize=3, stride=2, padding=1)),
+                       ((1, 8, 8, 8, 2), dict(ksize=2, stride=2, padding=0)),
+                       ((2, 7, 5, 6, 3), dict(ksize=3, stride=1, padding=1))]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        g = jnp.asarray(rng.randn(
+            *resnet3d.max_pool3d(x, **cfg).shape).astype(np.float32))
+        d_ref = jax.grad(
+            lambda v: jnp.vdot(resnet3d.max_pool3d(v, **cfg), g))(x)
+        d_new = jax.grad(
+            lambda v: jnp.vdot(resnet3d.max_pool3d_taps(v, **cfg), g))(x)
+        fwd_ref = resnet3d.max_pool3d(x, **cfg)
+        fwd_new = resnet3d.max_pool3d_taps(x, **cfg)
+        assert bool(jnp.all(fwd_ref == fwd_new))
+        np.testing.assert_allclose(np.asarray(d_new), np.asarray(d_ref),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_resnet18_forward_shapes():
     cfg = resnet3d.ResNetConfig(depth=18, n_input_channels=1, n_classes=2)
     variables = resnet3d.init(jax.random.key(0), cfg)
