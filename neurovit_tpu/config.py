@@ -81,9 +81,14 @@ EXTRA_DEFAULTS: Dict[str, Any] = {
     # on the flagship model); "threefry2x32" for bit-stable portability.
     "TRAINING_RNG_IMPL": "rbg",
     "TRAINING_DONATE": True,       # donate train-state buffers to the step
-    # Mesh axes: data parallel by default; model axis enables tensor parallel.
+    # Mesh axes: data parallel by default; model axis enables tensor
+    # parallel, pipe axis GPipe pipeline parallelism (parallel/pipeline.py).
     "MESH_DATA_AXIS": -1,          # -1 = all devices on the data axis
     "MESH_MODEL_AXIS": 1,
+    "MESH_PIPE_AXIS": 1,
+    # Microbatches per pipelined step; 0 = auto (2 * stages, halved until
+    # it divides the batch). Bubble fraction = (P-1)/(M+P-1).
+    "MESH_PP_MICROBATCHES": 0,
     # Opt-in native C++ NIfTI reader (GIL-free batch fan-out; numpy memmap
     # is faster on single-core hosts — see scripts/data_bench.py).
     "DATA_NATIVE_IO": False,

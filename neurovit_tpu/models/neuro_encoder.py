@@ -72,6 +72,8 @@ class NeuroEncoder:
             impl=impl,
             remat=bool(config.get("TRAINING_REMAT", False)),
             patch_embed=config.get("MODEL_VIT_PATCH_EMBED", "auto"),
+            pipeline_stages=int(config.get("MESH_PIPE_AXIS", 1)),
+            pp_microbatches=int(config.get("MESH_PP_MICROBATCHES", 0)),
         )
         self.resnet_cfg = resnet3d.ResNetConfig(
             depth=config.get("MODEL_RESNET_DEPTH", 18),

@@ -60,6 +60,11 @@ class ViTConfig:
     # SAME function as strided 3D convolutions (no 8-D transpose — ~5 ms/step
     # cheaper on TPU); "auto" = conv on TPU, gather elsewhere.
     patch_embed: str = "auto"
+    # GPipe pipeline parallelism over the block stack (parallel/pipeline.py):
+    # >1 runs the blocks sharded over the mesh's `pipe` axis. Requires
+    # depth % pipeline_stages == 0 and an ambient mesh with that axis.
+    pipeline_stages: int = 1
+    pp_microbatches: int = 0   # 0 = auto (2 * stages, halved to divide B)
 
     def __post_init__(self):
         assert self.image_size % self.image_patch_size == 0, \
@@ -408,6 +413,34 @@ def apply(params: dict, volume: jax.Array, cfg: ViTConfig, *,
             probe_shift = jnp.pad(
                 probe_shift, ((0, 0), (0, n_stream - n_valid), (0, 0)))
     attn_n_valid = n_valid if pad_stream else None
+
+    # Pipeline-parallel path: all depth blocks run sharded over the mesh's
+    # `pipe` axis (GPipe microbatching, parallel/pipeline.py). The Grad-CAM
+    # probe path (probe_shift is not None) falls back to the unpipelined
+    # composition below — explanation runs are offline/small-batch, and the
+    # probe needs the last block unrolled on every device.
+    if cfg.pipeline_stages > 1 and probe_shift is None:
+        from neurovit_tpu.parallel.pipeline import pipeline_blocks
+        use_rng = rngs is not None
+        block_rngs = (rngs[1:1 + cfg.depth] if use_rng
+                      else jnp.zeros((cfg.depth, 2), dtype=jnp.uint32))
+
+        def pp_block_fn(block, h, block_rng):
+            return _block_apply(block, h, cfg, deterministic=deterministic,
+                                rng=block_rng if use_rng else None,
+                                n_valid=attn_n_valid)[0]
+
+        if cfg.remat:
+            pp_block_fn = jax.checkpoint(pp_block_fn)
+        x = pipeline_blocks(pp_block_fn, params["blocks"], block_rngs, x,
+                            n_stages=cfg.pipeline_stages,
+                            n_micro=cfg.pp_microbatches or None)
+        if pad_stream:
+            x = x[:, :n_valid]
+        pooled = jnp.mean(x, axis=1) if cfg.pool == "mean" else x[:, 0]
+        pooled = nn.layer_norm(params["head"]["norm"], pooled)
+        logits = nn.linear(params["head"]["fc"], pooled)
+        return logits.astype(jnp.float32), None
 
     # Blocks 0..depth-2 via lax.scan over stacked params; the last block runs
     # unrolled so the Grad-CAM probe attaches to its attention LayerNorm.

@@ -7,8 +7,11 @@ batch data-parallelism over the ``data`` axis (gradients reduced by XLA
 hidden over the ``model`` axis.
 """
 
-from neurovit_tpu.parallel.mesh import create_mesh, DATA_AXIS, MODEL_AXIS  # noqa: F401
+from neurovit_tpu.parallel.mesh import (  # noqa: F401
+    create_mesh, DATA_AXIS, MODEL_AXIS, PIPE_AXIS,
+)
 from neurovit_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding, replicated, shard_batch, param_shardings,
 )
+from neurovit_tpu.parallel.pipeline import pipeline_blocks  # noqa: F401
 from neurovit_tpu.parallel import distributed  # noqa: F401

@@ -13,7 +13,7 @@ from typing import Any, Dict
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from neurovit_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from neurovit_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, PIPE_AXIS
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -76,29 +76,37 @@ _TP_RULES = {
 }
 
 
-def _leaf_spec(path, leaf) -> P:
+def _leaf_spec(path, leaf, tp: bool, pp: bool) -> P:
     names = tuple(getattr(p, "key", getattr(p, "idx", None)) for p in path)
-    rule = _TP_RULES.get(names[-2:])
-    if rule is None:
-        return P()
+    rule = _TP_RULES.get(names[-2:]) if tp else None
+    # Pipeline: stacked per-block params (leading depth axis) live on the
+    # stage that runs them — axis 0 over PIPE, matching the shard_map
+    # in_spec in parallel/pipeline.py (no resharding at the manual-region
+    # boundary, and the optimizer state for the blocks shards with them).
+    lead = PIPE_AXIS if (pp and "blocks" in names) else None
     nd = leaf.ndim
-    if rule == "col":       # shard output dim (last)
-        return P(*([None] * (nd - 1) + [MODEL_AXIS]))
-    if rule == "row":       # shard input dim (second-to-last)
-        return P(*([None] * (nd - 2) + [MODEL_AXIS, None]))
-    if rule == "col_bias":  # bias of a column-parallel matmul
-        return P(*([None] * (nd - 1) + [MODEL_AXIS]))
-    return P()
+    spec = [lead] + [None] * (nd - 1)
+    if rule in ("col", "col_bias"):   # shard output dim (last)
+        spec[-1] = MODEL_AXIS
+    elif rule == "row":               # shard input dim (second-to-last)
+        spec[-2] = MODEL_AXIS
+    if all(s is None for s in spec):  # canonical replicated form
+        return P()
+    return P(*spec)
 
 
 def param_shardings(params: Dict[str, Any], mesh: Mesh,
                     tensor_parallel: bool = True) -> Dict[str, Any]:
     """NamedSharding pytree for the model params.
 
-    With model axis size 1 (or tensor_parallel=False) everything is
-    replicated; otherwise ViT attention/MLP weights are split over MODEL_AXIS.
+    With model and pipe axes of size 1 (or tensor_parallel=False)
+    everything is replicated; otherwise ViT attention/MLP weights are
+    split over MODEL_AXIS and stacked block params over PIPE_AXIS.
     """
-    if not tensor_parallel or mesh.shape[MODEL_AXIS] == 1:
+    tp = tensor_parallel and mesh.shape[MODEL_AXIS] > 1
+    pp = mesh.shape.get(PIPE_AXIS, 1) > 1
+    if not tp and not pp:
         return jax.tree.map(lambda _: replicated(mesh), params)
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _leaf_spec(path, leaf)), params)
+        lambda path, leaf: NamedSharding(mesh, _leaf_spec(path, leaf, tp, pp)),
+        params)

@@ -1,0 +1,149 @@
+"""Pipeline parallelism (GPipe over the `pipe` mesh axis) on the 8-device
+virtual CPU mesh.
+
+The reference is single-GPU (SURVEY §5.8) so there is no behavior to match;
+these pin the pipeline's NUMERICS to the unpipelined program: same forward,
+same gradients, same post-update params — a wrong schedule or collective
+would produce finite-but-different values, which is exactly what the
+single-device comparisons catch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neurovit_tpu.parallel import create_mesh, shard_batch, pipeline_blocks
+from neurovit_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, PIPE_AXIS
+
+
+def _toy_blocks(depth, dim, key):
+    ks = jax.random.split(key, depth)
+    return {
+        "w": jnp.stack([jax.random.normal(k, (dim, dim)) * 0.3 for k in ks]),
+        "b": jnp.stack([jax.random.normal(k, (dim,)) * 0.1 for k in ks]),
+    }
+
+
+def _toy_block_fn(block, h, rng):
+    del rng
+    return h + jnp.tanh(h @ block["w"] + block["b"])
+
+
+def _plain_scan(blocks, rngs, x):
+    def body(c, xs):
+        bp, br = xs
+        return _toy_block_fn(bp, c, br), None
+    out, _ = jax.lax.scan(body, x, (blocks, rngs))
+    return out
+
+
+def test_pipeline_blocks_matches_scan():
+    """pp4 x dp2, 8 blocks (2 per stage), forward AND gradients match the
+    plain scan to float rounding."""
+    mesh = create_mesh({"MESH_DATA_AXIS": 2, "MESH_PIPE_AXIS": 4})
+    depth, dim = 8, 16
+    blocks = _toy_blocks(depth, dim, jax.random.key(0))
+    rngs = jnp.zeros((depth, 2), jnp.uint32)
+    x = jax.random.normal(jax.random.key(1), (8, 6, dim))
+    g = jax.random.normal(jax.random.key(2), x.shape)
+
+    def pipelined(b, v):
+        return pipeline_blocks(_toy_block_fn, b, rngs, v, n_stages=4)
+
+    with jax.set_mesh(mesh):
+        y_ref = _plain_scan(blocks, rngs, x)
+        y_pp = jax.jit(pipelined)(blocks, x)
+        np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_ref),
+                                   rtol=1e-6, atol=1e-6)
+
+        gb_ref = jax.grad(lambda b: jnp.vdot(_plain_scan(b, rngs, x), g))(blocks)
+        gb_pp = jax.jit(jax.grad(
+            lambda b: jnp.vdot(pipelined(b, x), g)))(blocks)
+        for a, c in zip(jax.tree.leaves(gb_ref), jax.tree.leaves(gb_pp)):
+            np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                       rtol=1e-5, atol=1e-5)
+        gx_ref = jax.grad(lambda v: jnp.vdot(_plain_scan(blocks, rngs, v), g))(x)
+        gx_pp = jax.jit(jax.grad(
+            lambda v: jnp.vdot(pipelined(blocks, v), g)))(x)
+        np.testing.assert_allclose(np.asarray(gx_pp), np.asarray(gx_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_validation_errors():
+    mesh = create_mesh({"MESH_DATA_AXIS": 2, "MESH_PIPE_AXIS": 4})
+    blocks = _toy_blocks(6, 8, jax.random.key(0))   # 6 % 4 != 0
+    rngs = jnp.zeros((6, 2), jnp.uint32)
+    x = jnp.zeros((8, 4, 8))
+    with jax.set_mesh(mesh):
+        with pytest.raises(ValueError, match="not divisible"):
+            pipeline_blocks(_toy_block_fn, blocks, rngs, x, n_stages=4)
+        with pytest.raises(ValueError, match="microbatches"):
+            pipeline_blocks(_toy_block_fn,
+                            _toy_blocks(8, 8, jax.random.key(0)),
+                            jnp.zeros((8, 2), jnp.uint32),
+                            jnp.zeros((7, 4, 8)), n_stages=4, n_micro=4)
+
+
+def test_pp_train_step_matches_single_device(tiny_config):
+    """Full ViT train step on a dp4 x pp2 mesh vs the 1-device step: same
+    loss, same post-update params. Covers the sharding.param_shardings PIPE
+    rule (stacked block params placed stage-local) and the vit3d pipelined
+    apply path end-to-end through the Trainer."""
+    from neurovit_tpu.data import get_datasets
+    from neurovit_tpu.models import NeuroEncoder
+    from neurovit_tpu.training import Trainer
+
+    config = dict(tiny_config)
+    config.update({"TRAINING_BATCH_SIZE": 16, "DATASET_GENERATE": True,
+                   "GRADCAM_NUM_SAMPLES": 64,
+                   "MESH_DATA_AXIS": 4, "MESH_PIPE_AXIS": 2})
+    ds_train, ds_val = get_datasets(config)
+    model_pp = NeuroEncoder(config)
+    assert model_pp.vit_cfg.pipeline_stages == 2
+
+    config_1 = dict(config)
+    config_1.update({"MESH_DATA_AXIS": 1, "MESH_PIPE_AXIS": 1})
+    model_1 = NeuroEncoder(config_1)
+
+    mesh_pp = create_mesh(config)
+    assert dict(mesh_pp.shape) == {DATA_AXIS: 4, MODEL_AXIS: 1, PIPE_AXIS: 2}
+    mesh_1 = create_mesh(config_1, devices=jax.devices()[:1])
+    t_pp = Trainer(config, model_pp, ds_train, ds_val, mesh=mesh_pp)
+    t_1 = Trainer(config_1, model_1, ds_train, ds_val, mesh=mesh_1)
+
+    # Stacked block params are stage-local (sharded over pipe on axis 0).
+    qkv = t_pp.train_state["params"]["volume_encoder"]["blocks"]["qkv"]["kernel"]
+    assert qkv.sharding.spec[0] == PIPE_AXIS
+
+    host = t_pp._device_batch(next(iter(t_pp.dataloader)))[0]
+    ts_pp, m_pp = t_pp._train_step(t_pp.train_state,
+                                   shard_batch(host, mesh_pp))
+    ts_1, m_1 = t_1._train_step(t_1.train_state, shard_batch(host, mesh_1))
+
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_1["loss"]),
+                               rtol=1e-5)
+    assert float(m_pp["count"]) == float(m_1["count"]) == 16
+    for a, b in zip(jax.tree.leaves(ts_pp["params"]),
+                    jax.tree.leaves(ts_1["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_pp_gradcam_probe_falls_back(tiny_config):
+    """With pipeline configured, the Grad-CAM probe path still works (it
+    falls back to the unpipelined composition, which tolerates any mesh)."""
+    from neurovit_tpu.models import NeuroEncoder
+
+    config = dict(tiny_config)
+    config.update({"MESH_DATA_AXIS": 4, "MESH_PIPE_AXIS": 2})
+    model = NeuroEncoder(config)
+    variables = model.init(jax.random.key(0))
+    mesh = create_mesh(config)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 20, 20, 20), jnp.float32)
+    with jax.set_mesh(mesh):
+        from neurovit_tpu.explainability.gradcam_vit3d import get_attention_map
+        cam, class_idx = get_attention_map(model, variables, x, threshold=20.0)
+    assert cam.shape == (2, 20, 20, 20)
+    assert np.isfinite(np.asarray(cam)).all()
+    assert class_idx.shape == (2,)

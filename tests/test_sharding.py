@@ -13,10 +13,13 @@ def test_virtual_devices_present():
 
 
 def test_mesh_shapes():
+    from neurovit_tpu.parallel.mesh import PIPE_AXIS
     mesh = create_mesh({"MESH_DATA_AXIS": -1, "MESH_MODEL_AXIS": 1})
-    assert dict(mesh.shape) == {DATA_AXIS: 8, MODEL_AXIS: 1}
+    assert dict(mesh.shape) == {DATA_AXIS: 8, MODEL_AXIS: 1, PIPE_AXIS: 1}
     mesh2 = create_mesh({"MESH_DATA_AXIS": -1, "MESH_MODEL_AXIS": 2})
-    assert dict(mesh2.shape) == {DATA_AXIS: 4, MODEL_AXIS: 2}
+    assert dict(mesh2.shape) == {DATA_AXIS: 4, MODEL_AXIS: 2, PIPE_AXIS: 1}
+    mesh3 = create_mesh({"MESH_DATA_AXIS": -1, "MESH_PIPE_AXIS": 2})
+    assert dict(mesh3.shape) == {DATA_AXIS: 4, MODEL_AXIS: 1, PIPE_AXIS: 2}
     with pytest.raises(ValueError):
         create_mesh({"MESH_DATA_AXIS": 5, "MESH_MODEL_AXIS": 3})
 
@@ -129,7 +132,8 @@ def test_4d_tp_step_matches_single_device(tiny_config):
                          devices=jax.devices()[:1])
     t_tp = Trainer(config, model, ds, ds_val, mesh=mesh_tp)
     t_1 = Trainer(config, model, ds, ds_val, mesh=mesh_1)
-    assert dict(mesh_tp.shape) == {DATA_AXIS: 4, MODEL_AXIS: 2}
+    from neurovit_tpu.parallel.mesh import PIPE_AXIS
+    assert dict(mesh_tp.shape) == {DATA_AXIS: 4, MODEL_AXIS: 2, PIPE_AXIS: 1}
 
     host = t_tp._device_batch(next(iter(t_tp.dataloader)))[0]
     ts_tp, m_tp = t_tp._train_step(
