@@ -36,18 +36,21 @@ class Predictor:
         self.mesh = mesh
         if mesh is not None:
             from neurovit_tpu.parallel.mesh import DATA_AXIS
-            from neurovit_tpu.parallel.sharding import replicated
+            from neurovit_tpu.parallel.sharding import (param_shardings,
+                                                        replicated)
             if batch_size % mesh.shape[DATA_AXIS] != 0:
                 raise ValueError(
                     f"batch_size {batch_size} must divide over the mesh "
                     f"{DATA_AXIS} axis ({mesh.shape[DATA_AXIS]})")
-            # Replicate in place: extra entries a caller passed alongside
-            # params/state survive untouched.
-            rep = replicated(mesh)
+            # Shard in place (TP/pipe axes > 1 split the ViT block params;
+            # otherwise this is plain replication): extra entries a caller
+            # passed alongside params/state survive untouched.
             self.variables = {
                 **variables,
-                "params": jax.device_put(variables["params"], rep),
-                "state": jax.device_put(variables["state"], rep),
+                "params": jax.tree.map(
+                    jax.device_put, variables["params"],
+                    param_shardings(variables["params"], mesh)),
+                "state": jax.device_put(variables["state"], replicated(mesh)),
             }
 
         def forward(params, state, volumes):
@@ -55,7 +58,15 @@ class Predictor:
                                     deterministic=True)
             return jax.nn.softmax(logits, axis=-1)
 
-        self._forward = jax.jit(forward)
+        jitted = jax.jit(forward)
+        if mesh is not None:
+            # Scoped mesh: sharding constraints / shard_map regions inside
+            # the model (4D B*T stream, pipeline stages) resolve against
+            # the ambient mesh at trace time, same as the Trainer.
+            def jitted(params, state, volumes, _j=jax.jit(forward)):
+                with jax.set_mesh(mesh):
+                    return _j(params, state, volumes)
+        self._forward = jitted
 
     @classmethod
     def from_checkpoint(cls, config: Dict[str, Any], checkpoint_path: str,

@@ -130,6 +130,68 @@ def test_pp_train_step_matches_single_device(tiny_config):
                                    rtol=2e-4, atol=1e-5)
 
 
+def test_pp_serving_matches_unsharded(tiny_config, tmp_path):
+    """Predictor on a dp4 x pp2 mesh returns the same probabilities as the
+    plain single-device Predictor (same checkpoint)."""
+    from neurovit_tpu.models import NeuroEncoder
+    from neurovit_tpu.serving import Predictor
+    from neurovit_tpu.training import state_dict as sd
+
+    config = dict(tiny_config)
+    model_1 = NeuroEncoder(config)
+    variables = model_1.init(jax.random.key(0))
+    path = str(tmp_path / "model.pkl")
+    sd.save(path, sd.to_state_dict(model_1, variables["params"]))
+
+    config_pp = dict(config)
+    config_pp.update({"MESH_DATA_AXIS": 4, "MESH_PIPE_AXIS": 2})
+    mesh = create_mesh(config_pp)
+    p_pp = Predictor.from_checkpoint(config_pp, path, batch_size=8, mesh=mesh)
+    p_1 = Predictor.from_checkpoint(config, path, batch_size=8)
+
+    vols = np.random.RandomState(0).randn(8, 20, 20, 20).astype(np.float32)
+    labels_pp, probs_pp = p_pp(vols)
+    labels_1, probs_1 = p_1(vols)
+    np.testing.assert_allclose(probs_pp, probs_1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(labels_pp, labels_1)
+
+
+def test_pp_4d_step_matches_single_device(tiny_config):
+    """4D mode (frozen pipelined volume encoder + temporal head) on a
+    dp4 x pp2 mesh matches the 1-device step."""
+    from neurovit_tpu.models import NeuroEncoder
+    from neurovit_tpu.training import Trainer
+
+    config = dict(tiny_config)
+    config.update({"TRAINING_DIM": 4, "DATASET_NAME": "adni",
+                   "TRAINING_BATCH_SIZE": 2, "TRAINING_EPOCHS": 1,
+                   "MESH_DATA_AXIS": 4, "MESH_PIPE_AXIS": 2})
+    model_pp = NeuroEncoder(config)
+    config_1 = dict(config)
+    config_1.update({"MESH_DATA_AXIS": 1, "MESH_PIPE_AXIS": 1})
+    model_1 = NeuroEncoder(config_1)
+
+    import test_trainer_4d
+    ds = test_trainer_4d.Synthetic4D(4, t=4)
+    ds_val = test_trainer_4d.Synthetic4D(2, t=4)
+    mesh_pp = create_mesh(config)
+    mesh_1 = create_mesh(config_1, devices=jax.devices()[:1])
+    t_pp = Trainer(config, model_pp, ds, ds_val, mesh=mesh_pp)
+    t_1 = Trainer(config_1, model_1, ds, ds_val, mesh=mesh_1)
+
+    host = t_pp._device_batch(next(iter(t_pp.dataloader)))[0]
+    ts_pp, m_pp = t_pp._train_step(
+        t_pp.train_state, shard_batch(host, mesh_pp, replicate=True))
+    ts_1, m_1 = t_1._train_step(
+        t_1.train_state, shard_batch(host, mesh_1, replicate=True))
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ts_pp["params"]),
+                    jax.tree.leaves(ts_1["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_pp_gradcam_probe_falls_back(tiny_config):
     """With pipeline configured, the Grad-CAM probe path still works (it
     falls back to the unpipelined composition, which tolerates any mesh)."""
