@@ -51,6 +51,14 @@ class NeuroEncoder:
                             if config["DATASET_NAME"] == "gradcam" else 2)
         self.is_4d = config["TRAINING_DIM"] == 4
         self.encoder_kind = config.get("MODEL_VOLUME_ENCODER", "vit")
+        if self.encoder_kind != "vit" and int(config.get("MESH_PIPE_AXIS", 1)) > 1:
+            # Only the ViT block stack has a pipeline path; silently
+            # accepting pipe>1 here would replicate the ResNet over the
+            # pipe axis and waste that fold of the pod on duplicate work.
+            raise ValueError(
+                "MESH_PIPE_AXIS > 1 pipelines the ViT block stack; the "
+                f"'{self.encoder_kind}' encoder has no pipeline path — use "
+                "MESH_DATA_AXIS / MESH_MODEL_AXIS instead")
         impl = resolve_impl(config.get("KERNEL_IMPL", "auto"))
         dropout = config.get("TRAINING_DROPOUT", 0.0)
 

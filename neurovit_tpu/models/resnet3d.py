@@ -213,8 +213,12 @@ def _max_pool3d_taps_bwd(ksize, stride, padding, res, g):
     # the all-at-once program peaks near ~6x the input size, which OOMs at
     # ResNet bench batches. Chunking trades nothing measurable: the work
     # per chunk is still large fused elementwise sweeps.
-    chunk = int(os.environ.get("NEUROVIT_MAXPOOL_BWD_CHUNK", "8"))
-    if x.shape[0] > chunk and x.shape[0] % chunk == 0:
+    chunk = min(int(os.environ.get("NEUROVIT_MAXPOOL_BWD_CHUNK", "8")),
+                x.shape[0])
+    while chunk > 1 and x.shape[0] % chunk != 0:
+        chunk -= 1   # largest divisor <= requested (never the OOMing
+        #              all-at-once program just because B is indivisible)
+    if x.shape[0] > chunk:
         n = x.shape[0] // chunk
         dx = jax.lax.map(
             lambda t: _max_pool3d_taps_bwd(ksize, stride, padding,
@@ -444,9 +448,9 @@ def apply(params: dict, state: dict, x: jax.Array, cfg: ResNetConfig, *,
         # reduce_window + autodiff (select-and-scatter backward) by
         # default: every measured alternative LOST on-chip (BENCH.md
         # "ResNet" negative results — tap-stack 84 ms vs 24 ms backward,
-        # separable 1-D pools 1.8x slower). NEUROVIT_MAXPOOL=taps keeps
-        # the scatter-free formulation available for A/B on other
-        # hardware generations.
+        # separable 1-D pools 1.6x slower fwd / 1.8x the backward delta).
+        # NEUROVIT_MAXPOOL=taps keeps the scatter-free formulation
+        # available for A/B on other hardware generations.
         if os.environ.get("NEUROVIT_MAXPOOL", "xla") == "taps":
             out = max_pool3d_taps(out)
         else:

@@ -425,23 +425,42 @@ def apply(params: dict, volume: jax.Array, cfg: ViTConfig, *,
         block_rngs = (rngs[1:1 + cfg.depth] if use_rng
                       else jnp.zeros((cfg.depth, 2), dtype=jnp.uint32))
 
-        def pp_block_fn(block, h, block_rng):
+        def pp_block_fn(block, h, block_rng, micro_idx):
+            # Fold the microbatch index into the rng: each microbatch is a
+            # distinct batch slice and must draw a distinct dropout mask
+            # (the raw key would repeat the same mask M times).
+            rng = (jax.random.fold_in(block_rng, micro_idx) if use_rng
+                   else None)
             return _block_apply(block, h, cfg, deterministic=deterministic,
-                                rng=block_rng if use_rng else None,
-                                n_valid=attn_n_valid)[0]
+                                rng=rng, n_valid=attn_n_valid)[0]
 
         if cfg.remat:
             pp_block_fn = jax.checkpoint(pp_block_fn)
         x = pipeline_blocks(pp_block_fn, params["blocks"], block_rngs, x,
                             n_stages=cfg.pipeline_stages,
                             n_micro=cfg.pp_microbatches or None)
-        if pad_stream:
-            x = x[:, :n_valid]
-        pooled = jnp.mean(x, axis=1) if cfg.pool == "mean" else x[:, 0]
-        pooled = nn.layer_norm(params["head"]["norm"], pooled)
-        logits = nn.linear(params["head"]["fc"], pooled)
-        return logits.astype(jnp.float32), None
+        probe_act = None
+        # Falls through to the shared pad-slice / pool / head tail below.
+    else:
+        x, probe_act = _apply_blocks_sequential(
+            params, x, cfg, rngs, deterministic, probe_shift, attn_n_valid)
 
+    if pad_stream:
+        x = x[:, :n_valid]
+        if probe_act is not None:
+            probe_act = probe_act[:, :n_valid]
+
+    pooled = jnp.mean(x, axis=1) if cfg.pool == "mean" else x[:, 0]
+    pooled = nn.layer_norm(params["head"]["norm"], pooled)
+    logits = nn.linear(params["head"]["fc"], pooled)
+    return logits.astype(jnp.float32), probe_act
+
+
+def _apply_blocks_sequential(params, x, cfg, rngs, deterministic,
+                             probe_shift, attn_n_valid):
+    """The single-device block stack: scan over blocks 0..depth-2, last
+    block unrolled so the Grad-CAM probe can attach to its attention
+    LayerNorm. Returns (x, probe_act)."""
     # Blocks 0..depth-2 via lax.scan over stacked params; the last block runs
     # unrolled so the Grad-CAM probe attaches to its attention LayerNorm.
     n_scan = cfg.depth - 1
@@ -482,13 +501,4 @@ def apply(params: dict, volume: jax.Array, cfg: ViTConfig, *,
         rng=rngs[cfg.depth] if rngs is not None else None,
         probe_shift=probe_shift, n_valid=attn_n_valid,
         need_probe=probe_shift is not None)
-
-    if pad_stream:
-        x = x[:, :n_valid]
-        if probe_act is not None:
-            probe_act = probe_act[:, :n_valid]
-
-    pooled = jnp.mean(x, axis=1) if cfg.pool == "mean" else x[:, 0]
-    pooled = nn.layer_norm(params["head"]["norm"], pooled)
-    logits = nn.linear(params["head"]["fc"], pooled)
-    return logits.astype(jnp.float32), probe_act
+    return x, probe_act

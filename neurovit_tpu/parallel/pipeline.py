@@ -46,7 +46,10 @@ def pipeline_blocks(block_fn, stacked_blocks: Any, stacked_rngs: jax.Array,
                     n_micro: Optional[int] = None):
     """Run ``depth`` stacked blocks over ``x`` pipelined across ``pipe``.
 
-    block_fn(block_params, h, block_rng) -> h applies ONE block; the
+    block_fn(block_params, h, block_rng, micro_idx) -> h applies ONE
+    block; ``micro_idx`` is the traced microbatch index (fold it into the
+    rng so per-microbatch dropout masks decorrelate — each microbatch is a
+    different slice of the batch and must not reuse the same mask). The
     stacked_blocks pytree has a leading depth axis (lax.scan layout,
     vit3d._init_blocks), stacked_rngs is [depth, ...] per-block RNG data.
     ``x`` is [B, ...] with B divisible by ``n_micro`` (default
@@ -70,10 +73,10 @@ def pipeline_blocks(block_fn, stacked_blocks: Any, stacked_rngs: jax.Array,
         stage = jax.lax.axis_index(PIPE_AXIS)
         n_ticks = n_micro + n_stages - 1
 
-        def local_stack(h):
+        def local_stack(h, micro_idx):
             def body(c, xs):
                 bp, br = xs
-                return block_fn(bp, c, br), None
+                return block_fn(bp, c, br, micro_idx), None
             out, _ = jax.lax.scan(body, h, (local_blocks, local_rngs),
                                   unroll=True)
             return out
@@ -82,7 +85,10 @@ def pipeline_blocks(block_fn, stacked_blocks: Any, stacked_rngs: jax.Array,
             buf, out = carry
             inject = xm[jnp.minimum(t, n_micro - 1)]
             h = jnp.where(stage == 0, inject, buf)
-            y = local_stack(h)
+            # Microbatch flowing through this stage at tick t (clamped for
+            # fill/drain ticks whose result is discarded anyway).
+            micro_idx = jnp.clip(t - stage, 0, n_micro - 1)
+            y = local_stack(h, micro_idx)
             done = jnp.logical_and(stage == n_stages - 1, t >= n_stages - 1)
             out = jnp.where(done,
                             out.at[jnp.maximum(t - (n_stages - 1), 0)].set(y),

@@ -110,3 +110,50 @@ def param_shardings(params: Dict[str, Any], mesh: Mesh,
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(mesh, _leaf_spec(path, leaf, tp, pp)),
         params)
+
+
+def place_opt_state(opt_state, params, p_shard, mesh):
+    """Device-place an optax state with moments matching the param shardings.
+
+    Optimizer moments / gradient accumulators are params-shaped subtrees
+    buried inside arbitrary wrapper states (MultiSteps -> chain -> masked ->
+    inject_hyperparams here, training/optim.py); replicating them would
+    forfeit the memory split of TP/pipe-sharded params (the Adam moments are
+    2x the param bytes). Walk the state: any subtree whose structure matches
+    ``params`` (treating optax.MaskedNode placeholders as leaves) takes the
+    param shardings leaf-for-leaf; everything else (step counts,
+    hyperparams) replicates.
+    """
+    import optax
+
+    p_treedef = jax.tree.structure(params)
+    is_masked = lambda x: isinstance(x, optax.MaskedNode)  # noqa: E731
+    rep = replicated(mesh)
+
+    def try_params_shaped(node):
+        try:
+            td = jax.tree.structure(node, is_leaf=is_masked)
+        except Exception:
+            return None
+        if td != p_treedef:
+            return None
+        return jax.tree.map(
+            lambda leaf, s: leaf if is_masked(leaf)
+            else jax.device_put(leaf, s),
+            node, p_shard, is_leaf=is_masked)
+
+    def place(node):
+        hit = try_params_shaped(node)
+        if hit is not None:
+            return hit
+        if isinstance(node, dict):
+            return {k: place(v) for k, v in node.items()}
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            return type(node)(*[place(v) for v in node])
+        if isinstance(node, (tuple, list)):
+            return type(node)(place(v) for v in node)
+        if is_masked(node):
+            return node
+        return jax.device_put(node, rep)
+
+    return place(opt_state)

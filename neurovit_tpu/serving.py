@@ -63,9 +63,10 @@ class Predictor:
             # Scoped mesh: sharding constraints / shard_map regions inside
             # the model (4D B*T stream, pipeline stages) resolve against
             # the ambient mesh at trace time, same as the Trainer.
-            def jitted(params, state, volumes, _j=jax.jit(forward)):
+            def scoped(params, state, volumes, _j=jitted):
                 with jax.set_mesh(mesh):
                     return _j(params, state, volumes)
+            jitted = scoped
         self._forward = jitted
 
     @classmethod

@@ -115,10 +115,17 @@ class Trainer:
         params = jax.tree.map(jax.device_put, params, p_shard)
         model_state = jax.device_put(model_state, replicated(self.mesh))
         self._replicate = lambda x: jax.device_put(x, replicated(self.mesh))
+        # Optimizer moments mirror the param shardings (TP/pipe-sharded
+        # block params keep their Adam state stage-local — replicating it
+        # would forfeit pipelining's memory split); scalars (step counts)
+        # replicate.
+        from neurovit_tpu.parallel.sharding import place_opt_state
+        opt_state = place_opt_state(self.tx.init(params), params, p_shard,
+                                    self.mesh)
         self.train_state = {
             "params": params,
             "model_state": model_state,
-            "opt_state": self._replicate(self.tx.init(params)),
+            "opt_state": opt_state,
             "rng": self._replicate(jax.random.key(
                 seed + 1, impl=config.get("TRAINING_RNG_IMPL", "rbg"))),
             "epoch": self._replicate(jnp.zeros((), jnp.int32)),

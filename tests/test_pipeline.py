@@ -25,8 +25,8 @@ def _toy_blocks(depth, dim, key):
     }
 
 
-def _toy_block_fn(block, h, rng):
-    del rng
+def _toy_block_fn(block, h, rng, micro_idx=0):
+    del rng, micro_idx
     return h + jnp.tanh(h @ block["w"] + block["b"])
 
 
@@ -68,6 +68,40 @@ def test_pipeline_blocks_matches_scan():
             lambda v: jnp.vdot(pipelined(blocks, v), g)))(x)
         np.testing.assert_allclose(np.asarray(gx_pp), np.asarray(gx_ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_micro_idx_distinct_per_microbatch():
+    """Each microbatch reaches block_fn with its own micro_idx (the dropout
+    decorrelation hook): a block that adds micro_idx must produce
+    x_m + depth * m for microbatch m."""
+    mesh = create_mesh({"MESH_DATA_AXIS": 2, "MESH_PIPE_AXIS": 4})
+    depth, dim = 4, 8
+    blocks = {"z": jnp.zeros((depth, 1))}
+    rngs = jnp.zeros((depth, 2), jnp.uint32)
+    x = jax.random.normal(jax.random.key(0), (8, 4, dim))
+
+    def add_micro(block, h, rng, micro_idx):
+        del block, rng
+        return h + micro_idx.astype(h.dtype)
+
+    with jax.set_mesh(mesh):
+        out = jax.jit(lambda v: pipeline_blocks(
+            add_micro, blocks, rngs, v, n_stages=4, n_micro=4))(x)
+    xm = x.reshape(4, 2, 4, dim)
+    om = np.asarray(out).reshape(4, 2, 4, dim)
+    for m in range(4):
+        np.testing.assert_allclose(om[m], np.asarray(xm[m]) + depth * m,
+                                   rtol=1e-6)
+
+
+def test_pp_rejects_non_vit_encoder(tiny_config):
+    """pipe>1 with the ResNet encoder is a configuration error (no pipeline
+    path — it would silently replicate work over the pipe axis)."""
+    from neurovit_tpu.models import NeuroEncoder
+    config = dict(tiny_config)
+    config.update({"MODEL_VOLUME_ENCODER": "resnet", "MESH_PIPE_AXIS": 2})
+    with pytest.raises(ValueError, match="pipeline"):
+        NeuroEncoder(config)
 
 
 def test_pipeline_validation_errors():
@@ -112,9 +146,15 @@ def test_pp_train_step_matches_single_device(tiny_config):
     t_pp = Trainer(config, model_pp, ds_train, ds_val, mesh=mesh_pp)
     t_1 = Trainer(config_1, model_1, ds_train, ds_val, mesh=mesh_1)
 
-    # Stacked block params are stage-local (sharded over pipe on axis 0).
+    # Stacked block params are stage-local (sharded over pipe on axis 0),
+    # and their Adam moments shard with them (replicated moments would
+    # forfeit pipelining's memory split).
     qkv = t_pp.train_state["params"]["volume_encoder"]["blocks"]["qkv"]["kernel"]
     assert qkv.sharding.spec[0] == PIPE_AXIS
+    # chain[0] Masked -> InjectHyperparams -> adamw chain[0] ScaleByAdam
+    adam = t_pp.train_state["opt_state"][0].inner_state.inner_state[0]
+    mu_qkv = adam.mu["volume_encoder"]["blocks"]["qkv"]["kernel"]
+    assert mu_qkv.sharding.spec[0] == PIPE_AXIS
 
     host = t_pp._device_batch(next(iter(t_pp.dataloader)))[0]
     ts_pp, m_pp = t_pp._train_step(t_pp.train_state,

@@ -76,7 +76,10 @@ def test_max_pool3d_taps_grad_matches_autodiff():
     rng = np.random.RandomState(3)
     for shape, cfg in [((2, 10, 9, 7, 4), dict(ksize=3, stride=2, padding=1)),
                        ((1, 8, 8, 8, 2), dict(ksize=2, stride=2, padding=0)),
-                       ((2, 7, 5, 6, 3), dict(ksize=3, stride=1, padding=1))]:
+                       ((2, 7, 5, 6, 3), dict(ksize=3, stride=1, padding=1)),
+                       # B=12 with the default chunk 8: exercises the
+                       # largest-divisor chunk fallback (6) in the backward.
+                       ((12, 6, 5, 4, 2), dict(ksize=3, stride=2, padding=1))]:
         x = jnp.asarray(rng.randn(*shape).astype(np.float32))
         g = jnp.asarray(rng.randn(
             *resnet3d.max_pool3d(x, **cfg).shape).astype(np.float32))
