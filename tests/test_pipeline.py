@@ -170,6 +170,45 @@ def test_pp_train_step_matches_single_device(tiny_config):
                                    rtol=2e-4, atol=1e-5)
 
 
+def test_dp_tp_pp_composed_matches_single_device(tiny_config):
+    """All three parallelism modes composed on one mesh (dp2 x tp2 x pp2):
+    Megatron TP stays under the auto partitioner INSIDE the manual-pipe
+    shard_map region (axis_names={'pipe'}), so the three compose without
+    hand-written cross-mode collectives. One train step must match the
+    1-device step."""
+    from neurovit_tpu.data import get_datasets
+    from neurovit_tpu.models import NeuroEncoder
+    from neurovit_tpu.training import Trainer
+
+    config = dict(tiny_config)
+    config.update({"TRAINING_BATCH_SIZE": 16, "DATASET_GENERATE": True,
+                   "GRADCAM_NUM_SAMPLES": 64, "MESH_DATA_AXIS": 2,
+                   "MESH_MODEL_AXIS": 2, "MESH_PIPE_AXIS": 2})
+    ds_train, ds_val = get_datasets(config)
+    model_3 = NeuroEncoder(config)
+    config_1 = dict(config)
+    config_1.update({"MESH_DATA_AXIS": 1, "MESH_MODEL_AXIS": 1,
+                     "MESH_PIPE_AXIS": 1})
+    model_1 = NeuroEncoder(config_1)
+
+    mesh_3 = create_mesh(config)
+    assert dict(mesh_3.shape) == {DATA_AXIS: 2, MODEL_AXIS: 2, PIPE_AXIS: 2}
+    mesh_1 = create_mesh(config_1, devices=jax.devices()[:1])
+    t_3 = Trainer(config, model_3, ds_train, ds_val, mesh=mesh_3)
+    t_1 = Trainer(config_1, model_1, ds_train, ds_val, mesh=mesh_1)
+
+    host = t_3._device_batch(next(iter(t_3.dataloader)))[0]
+    ts_3, m_3 = t_3._train_step(t_3.train_state, shard_batch(host, mesh_3))
+    ts_1, m_1 = t_1._train_step(t_1.train_state, shard_batch(host, mesh_1))
+    np.testing.assert_allclose(float(m_3["loss"]), float(m_1["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ts_3["params"]),
+                    jax.tree.leaves(ts_1["params"])):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_pp_serving_matches_unsharded(tiny_config, tmp_path):
     """Predictor on a dp4 x pp2 mesh returns the same probabilities as the
     plain single-device Predictor (same checkpoint)."""
