@@ -81,6 +81,10 @@ EXTRA_DEFAULTS: Dict[str, Any] = {
     # on the flagship model); "threefry2x32" for bit-stable portability.
     "TRAINING_RNG_IMPL": "rbg",
     "TRAINING_DONATE": True,       # donate train-state buffers to the step
+    # Overlap the per-epoch Orbax disk write with the next epoch (the
+    # device->host snapshot is still synchronous, so donated buffers stay
+    # safe). The run exit / --resume paths wait for in-flight writes.
+    "TRAINING_ASYNC_CHECKPOINT": False,
     # Mesh axes: data parallel by default; model axis enables tensor
     # parallel, pipe axis GPipe pipeline parallelism (parallel/pipeline.py).
     "MESH_DATA_AXIS": -1,          # -1 = all devices on the data axis

@@ -30,14 +30,42 @@ def _serializable(train_state: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def save_train_state(path: str, train_state: Dict[str, Any], model) -> None:
+_async_cp = None            # lazy singleton; one save in flight at a time
+
+
+def save_train_state(path: str, train_state: Dict[str, Any], model, *,
+                     asynchronous: bool = False) -> None:
+    """Persist the full train state (+ the torch-style state-dict pickle).
+
+    ``asynchronous=True`` uses Orbax's AsyncCheckpointer: the device->host
+    copy happens BEFORE it returns (so the Trainer's donated step buffers
+    can be reused immediately), and only the disk write overlaps the next
+    epoch. Call :func:`wait_for_async_saves` before reading the checkpoint
+    back or exiting the process.
+    """
     path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with ocp.StandardCheckpointer() as cp:
-        cp.save(path, _serializable(train_state), force=True)
+    if asynchronous:
+        global _async_cp
+        if _async_cp is None:
+            _async_cp = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        _async_cp.wait_until_finished()
+        _async_cp.save(path, args=ocp.args.StandardSave(
+            _serializable(train_state)), force=True)
+    else:
+        with ocp.StandardCheckpointer() as cp:
+            cp.save(path, _serializable(train_state), force=True)
+    # The pickle is small and host-side; writing it synchronously keeps the
+    # "MODEL SAVED" line truthful for the weight-exchange artifact.
     sd.save(path + ".state_dict.pkl",
             sd.to_state_dict(model, train_state["params"],
                              train_state.get("model_state")))
+
+
+def wait_for_async_saves() -> None:
+    """Block until any in-flight async checkpoint write has committed."""
+    if _async_cp is not None:
+        _async_cp.wait_until_finished()
 
 
 def load_train_state(path: str, train_state_like: Dict[str, Any]

@@ -235,6 +235,7 @@ class Trainer:
         saved before the plateau entry existed, or saved under a different
         TRAINING_LR_SCHEDULE, still resume — the counters just start
         fresh/are dropped)."""
+        ckpt.wait_for_async_saves()   # never read a still-writing checkpoint
         primary = self._checkpoint_state()
         alternate = dict(self.train_state)
         if "plateau" not in primary:
@@ -321,16 +322,25 @@ class Trainer:
                 self.validate(epoch)
                 self.train_state["epoch"] = self._replicate(
                     jnp.asarray(epoch + 1, jnp.int32))
-                ckpt.save_train_state(os.path.join(path, f"model-e{epoch}"),
-                                      self._checkpoint_state(), self.model)
+                # TRAINING_ASYNC_CHECKPOINT overlaps the Orbax disk write
+                # with the next epoch (the device->host copy still happens
+                # before the next donated step can clobber the buffers);
+                # the run-exit wait below commits the last one.
+                ckpt.save_train_state(
+                    os.path.join(path, f"model-e{epoch}"),
+                    self._checkpoint_state(), self.model,
+                    asynchronous=bool(
+                        self.config.get("TRAINING_ASYNC_CHECKPOINT", False)))
                 ckpt.save_last_model(self.train_state, self.model)
                 print(f"MODEL SAVED to .{path}/model-e{epoch}")
                 if self._preempt_requested:
                     # The per-epoch checkpoint just written IS the resume
-                    # point; no extra save needed.
+                    # point; no extra save needed (committed by the exit
+                    # wait below even in async mode).
                     print(f"PREEMPTED: exiting after epoch {epoch} save")
                     return
         finally:
+            ckpt.wait_for_async_saves()
             restore_handlers()
 
     def _device_prefetch(self, loader):

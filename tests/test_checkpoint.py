@@ -42,6 +42,54 @@ def test_orbax_full_state_roundtrip(tiny_config, tmp_path):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_async_checkpoint_roundtrip(tiny_config, tmp_path):
+    """Async epoch saves: the write overlaps the caller but commits by
+    wait_for_async_saves, and the committed checkpoint restores to the
+    same values as a synchronous save would."""
+    config = dict(tiny_config, DATASET_GENERATE=True, GRADCAM_NUM_SAMPLES=48)
+    ds_train, ds_val = get_datasets(config)
+    model = NeuroEncoder(config)
+    trainer = Trainer(config, model, ds_train, ds_val)
+    batch = trainer._device_batch(next(iter(trainer.dataloader)))[0]
+    trainer.train_state, _ = trainer._train_step(trainer.train_state, batch)
+
+    path = str(tmp_path / "ckpt" / "model-e0")
+    ckpt.save_train_state(path, trainer.train_state, model,
+                          asynchronous=True)
+    # Mutating the trainer's state after the call must not corrupt the
+    # snapshot (the device->host copy is synchronous; only IO overlaps).
+    expected = jax.tree.map(np.asarray,
+                            jax.tree.leaves(trainer.train_state["params"]))
+    trainer.train_state, _ = trainer._train_step(trainer.train_state, batch)
+    ckpt.wait_for_async_saves()
+
+    trainer2 = Trainer(config, model, ds_train, ds_val)
+    restored = ckpt.load_train_state(path, trainer2.train_state)
+    for a, b in zip(expected, jax.tree.leaves(restored["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    import os
+    assert os.path.exists(path + ".state_dict.pkl")
+
+
+def test_async_checkpoint_through_run(tiny_config, tmp_path):
+    """TRAINING_ASYNC_CHECKPOINT=True through Trainer.run(): every epoch
+    checkpoint is committed and resumable when run() returns."""
+    config = dict(tiny_config, DATASET_GENERATE=True, GRADCAM_NUM_SAMPLES=48,
+                  TRAINING_EPOCHS=2, TRAINING_ASYNC_CHECKPOINT=True,
+                  GLOBAL_OUTPUT_DIR=str(tmp_path / "runs"))
+    ds_train, ds_val = get_datasets(config)
+    model = NeuroEncoder(config)
+    trainer = Trainer(config, model, ds_train, ds_val)
+    trainer.run()
+    import glob
+    saves = sorted(glob.glob(str(tmp_path / "runs" / "*" / "model-e*")))
+    dirs = [s for s in saves if not s.endswith(".pkl")]
+    assert len(dirs) == 2
+    trainer2 = Trainer(config, model, ds_train, ds_val)
+    restored = ckpt.load_train_state(dirs[-1], trainer2.train_state)
+    assert int(restored["epoch"]) == 2
+
+
 def test_plateau_scheduler_state_resumes(tiny_config, tmp_path):
     """A resumed plateau-LR run keeps its best-val-loss / patience counters
     (and the reduced LR, which rides in opt_state) instead of restarting
