@@ -446,13 +446,19 @@ def apply(params: dict, state: dict, x: jax.Array, cfg: ResNetConfig, *,
     out = jax.nn.relu(out)
     if not cfg.no_max_pool:
         # reduce_window + autodiff (select-and-scatter backward) by
-        # default: every measured alternative LOST on-chip (BENCH.md
+        # default: every measured XLA alternative LOST on-chip (BENCH.md
         # "ResNet" negative results — tap-stack 84 ms vs 24 ms backward,
         # separable 1-D pools 1.6x slower fwd / 1.8x the backward delta).
-        # NEUROVIT_MAXPOOL=taps keeps the scatter-free formulation
-        # available for A/B on other hardware generations.
-        if os.environ.get("NEUROVIT_MAXPOOL", "xla") == "taps":
+        # NEUROVIT_MAXPOOL=pallas selects the in-kernel-argmax route
+        # (ops/maxpool3d.py: VMEM reshuffles instead of HBM relayouts,
+        # torch-style single-winner ties); =taps keeps the scatter-free
+        # XLA formulation for A/B on other hardware generations.
+        impl = os.environ.get("NEUROVIT_MAXPOOL", "xla")
+        if impl == "taps":
             out = max_pool3d_taps(out)
+        elif impl == "pallas":
+            from neurovit_tpu.ops.maxpool3d import max_pool3d_pallas
+            out = max_pool3d_pallas(out)
         else:
             out = max_pool3d(out)
 

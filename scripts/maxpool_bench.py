@@ -1,4 +1,4 @@
-"""Max-pool 3D A/B: reduce_window vs tap-stacked formulation.
+"""Max-pool 3D A/B: reduce_window vs tap-stack vs Pallas argmax kernel.
 
 BENCH.md's ResNet step composition attributes ~29 ms (b64 trace) to the
 max-pool BACKWARD — XLA derives reduce_window's gradient as
@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from neurovit_tpu.models.resnet3d import max_pool3d, max_pool3d_taps
+from neurovit_tpu.ops.maxpool3d import max_pool3d_pallas
 
 
 def max_pool3d_separable(x, ksize=3, stride=2, padding=1):
@@ -60,7 +61,8 @@ def main():
 
     for name, pool in (("reduce_window", max_pool3d),
                        ("separable", max_pool3d_separable),
-                       ("tap-stack", max_pool3d_taps)):
+                       ("tap-stack", max_pool3d_taps),
+                       ("pallas-argmax", max_pool3d_pallas)):
         fwd = jax.jit(lambda v, pool=pool: jnp.sum(pool(v).astype(jnp.float32)))
 
         def loss(v, pool=pool):
@@ -75,7 +77,9 @@ def main():
     # numerics: forwards identical
     a = jax.jit(max_pool3d)(x)
     b = jax.jit(max_pool3d_taps)(x)
-    print("fwd allclose:", bool(jnp.all(a == b)))
+    c = jax.jit(max_pool3d_pallas)(x)
+    print("fwd allclose: taps", bool(jnp.all(a == b)),
+          "pallas", bool(jnp.all(a == c)))
 
 
 if __name__ == "__main__":

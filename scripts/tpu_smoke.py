@@ -66,6 +66,31 @@ def check_kernel_numerics():
     print("dropout determinism OK")
 
 
+def check_maxpool_kernel():
+    """Compiled Mosaic maxpool fwd values + backward vs XLA autodiff
+    (tie-free input, so single-winner == equal-split)."""
+    from neurovit_tpu.models.resnet3d import max_pool3d
+    from neurovit_tpu.ops.maxpool3d import max_pool3d_pallas
+
+    rng = np.random.RandomState(7)
+    shape = (2, 10, 9, 11, 64)
+    n = int(np.prod(shape))
+    x = jnp.asarray(rng.permutation(n).reshape(shape) / n, jnp.float32)
+    g = jnp.asarray(rng.randn(*max_pool3d(x).shape), jnp.float32)
+
+    @jax.jit
+    def both(v):
+        ref = jax.grad(lambda a: jnp.vdot(max_pool3d(a), g))(v)
+        new = jax.grad(lambda a: jnp.vdot(max_pool3d_pallas(a), g))(v)
+        return (jnp.max(jnp.abs(max_pool3d(v) - max_pool3d_pallas(v))),
+                jnp.max(jnp.abs(ref - new)))
+
+    f_err, b_err = (float(e) for e in both(x))
+    print(f"maxpool pallas fwd max|err| = {f_err:.2e}, "
+          f"bwd max|err| = {b_err:.2e}")
+    assert f_err == 0.0 and b_err < 1e-6, "maxpool kernel mismatch"
+
+
 def check_fused_dropout():
     from neurovit_tpu.ops import dropout as fused
 
@@ -273,6 +298,7 @@ if __name__ == "__main__":
     check_fused_dropout()
     check_fused_mlp()
     check_fused_attention_path()
+    check_maxpool_kernel()
     if not args.quick:
         def try_time(impl, batch):
             while batch >= 2:
