@@ -1,0 +1,133 @@
+"""Can Mosaic reach the int8 MXU rate where XLA cannot?
+
+BENCH.md "int8 quantized serving": XLA's int8 dot_general is a strategy
+lottery at the flagship serving shapes (the same GEMM compiled to 4.9-28.4
+ms across runs) and never approached the nominal 2x int8 MXU rate; the
+go/no-go verdict was NO, "revisit only with a hand-written Pallas int8
+kernel AND evidence Mosaic reaches the int8 MXU rate".  This script is
+that evidence probe: the SAME blocked Pallas matmul, once with int8
+operands (int32 accumulate) and once with bf16 (f32 accumulate), at the
+flagship serving GEMM shapes + a square diagnostic.  If int8/bf16 < ~1.5x
+here, post-training int8 serving stays off the table on this part.
+
+Usage: python scripts/int8_pallas_bench.py [--quick]
+"""
+
+import argparse
+import functools
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mm_kernel(a_ref, b_ref, o_ref, acc_dtype):
+    o_ref[...] = jnp.dot(a_ref[...], b_ref[...],
+                         preferred_element_type=acc_dtype)
+
+
+def blocked_matmul(a, b, *, bm=256, bn=256, acc_dtype):
+    m, k = a.shape
+    k2, n = b.shape
+    assert k == k2 and m % bm == 0 and n % bn == 0
+    return pl.pallas_call(
+        functools.partial(_mm_kernel, acc_dtype=acc_dtype),
+        grid=(m // bm, n // bn),
+        in_specs=[pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k, bn), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), acc_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(a, b)
+
+
+def _dq_kernel(a_ref, b_ref, sa_ref, sb_ref, o_ref):
+    acc = jnp.dot(a_ref[...], b_ref[...], preferred_element_type=jnp.int32)
+    o_ref[...] = (acc.astype(jnp.float32)
+                  * sa_ref[...] * sb_ref[...]).astype(jnp.bfloat16)
+
+
+def dynquant_matmul(a_i8, b_i8, sa, sb, *, bm=256, bn=256):
+    """int8 GEMM with the full serving epilogue: per-row x per-col dequant
+    to bf16 (the realistic cost, not just the raw int8 rate)."""
+    m, k = a_i8.shape
+    _, n = b_i8.shape
+    return pl.pallas_call(
+        _dq_kernel,
+        grid=(m // bm, n // bn),
+        in_specs=[pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k, bn), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((bm, 1), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(a_i8, b_i8, sa, sb)
+
+
+def timeit(fn, *args, iters=10):
+    # Hard-sync by fetching a scalar (CLAUDE.md: block_until_ready can
+    # return early on the remote platform).
+    chained = jax.jit(lambda *a: jnp.sum(fn(*a)[:1, :1].astype(jnp.float32)))
+    _ = float(chained(*args))
+    t0 = time.time()
+    for _ in range(iters):
+        _ = float(chained(*args))
+    return (time.time() - t0) / iters
+
+
+# Flagship serving GEMMs (b64 serving: M = 64*1352 tokens row-blocked) +
+# the square diagnostic where XLA's int8 showed its only consistent win.
+SHAPES = [("fc1", 8192, 1024, 2048),
+          ("fc2", 8192, 2048, 1024),
+          ("qkv", 8192, 1024, 1536),
+          ("square4k", 4096, 4096, 4096)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    print(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+    shapes = SHAPES[:1] + SHAPES[-1:] if args.quick else SHAPES
+
+    for name, m, k, n in shapes:
+        a8 = jnp.asarray(rng.integers(-127, 128, (m, k)), jnp.int8)
+        b8 = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+        abf = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        bbf = jnp.asarray(rng.standard_normal((k, n)), jnp.bfloat16)
+        sa = jnp.asarray(rng.random((m, 1)) + 0.5, jnp.float32)
+        sb = jnp.asarray(rng.random((1, n)) + 0.5, jnp.float32)
+        flops = 2.0 * m * k * n
+
+        t_bf = timeit(lambda x, y: blocked_matmul(
+            x, y, acc_dtype=jnp.float32), abf, bbf)
+        t_i8 = timeit(lambda x, y: blocked_matmul(
+            x, y, acc_dtype=jnp.int32), a8, b8)
+        t_dq = timeit(dynquant_matmul, a8, b8, sa, sb)
+        print(f"{name:9s} bf16 {t_bf*1e3:7.2f} ms ({flops/t_bf/1e12:6.1f} "
+              f"TF/s) | int8 {t_i8*1e3:7.2f} ms ({flops/t_i8/1e12:6.1f} "
+              f"TOP/s) | dynquant {t_dq*1e3:7.2f} ms "
+              f"({flops/t_dq/1e12:6.1f} TOP/s) | int8/bf16 "
+              f"{t_bf/t_i8:4.2f}x dq/bf16 {t_bf/t_dq:4.2f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()
