@@ -12,8 +12,11 @@ layouts** (torch Linear weights are (out, in); ours are (in, out)), so:
   same key filtering semantics,
 - users migrating from the reference can convert checkpoints.
 
-Serialization is a pickle of {torch_key: np.ndarray} — loadable without
-torch. ``load_into`` implements strict/non-strict merge semantics.
+Serialization is torch.save's zip format, written and read without torch
+(torch_pth.py) — checkpoints flow BOTH ways between this framework and the
+reference's torch tooling. Legacy runs that saved the old numpy pickle
+still load (the reader sniffs the container). ``load_into`` implements
+strict/non-strict merge semantics.
 """
 
 from __future__ import annotations
@@ -299,14 +302,18 @@ def load_into(model, params: Dict[str, Any], state_dict: Dict[str, np.ndarray],
 
 
 def save(path: str, state_dict: Dict[str, np.ndarray]) -> None:
-    with open(path, "wb") as f:
-        pickle.dump({k: np.asarray(v) for k, v in state_dict.items()}, f)
+    """Write the flat state dict in torch.save's zip format (torch_pth.py
+    writer, no torch needed), so the artifact opens under ``torch.load``
+    in the reference's own tooling AND under :func:`load` here."""
+    from neurovit_tpu.training.torch_pth import save_torch_state_dict
+    save_torch_state_dict(path, {k: np.asarray(v)
+                                 for k, v in state_dict.items()})
 
 
 def load(path: str) -> Dict[str, np.ndarray]:
-    """Load a flat numpy state dict — our pickle format, or a real PyTorch
-    ``.pth`` (zip) file via the torch-free reader (torch_pth.py), so
-    reference checkpoints import directly."""
+    """Load a flat numpy state dict — torch zip format (what :func:`save`
+    writes and the reference's ``torch.save`` produces) via the torch-free
+    reader, or the legacy numpy pickle older runs saved."""
     import zipfile
     if zipfile.is_zipfile(path):
         from neurovit_tpu.training.torch_pth import load_torch_state_dict

@@ -85,3 +85,77 @@ def test_reference_checkpoint_roundtrip_into_model(tiny_config, tmp_path):
     with torch.no_grad():
         theirs = tmodel(tin).numpy()
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Writer (save_torch_state_dict): torch.load is the oracle
+# ---------------------------------------------------------------------------
+
+def test_writer_loads_under_torch(tmp_path):
+    import ml_dtypes
+    from neurovit_tpu.training.torch_pth import save_torch_state_dict
+    rng = np.random.default_rng(0)
+    state = {
+        "w": rng.standard_normal((4, 3, 2)).astype(np.float32),
+        "b64": rng.standard_normal(5).astype(np.float64),
+        "steps": np.int64(42),                     # 0-d (num_batches_tracked)
+        "h": rng.standard_normal((3, 3)).astype(np.float16),
+        "bf": rng.standard_normal((2, 5)).astype(ml_dtypes.bfloat16),
+    }
+    path = str(tmp_path / "ours.pth")
+    save_torch_state_dict(path, state)
+
+    # default weights_only=True (torch >= 2.6) must accept our pickle
+    loaded = torch.load(path)
+    assert set(loaded) == set(state)
+    assert loaded["bf"].dtype == torch.bfloat16
+    assert loaded["steps"].shape == ()
+    for k, v in state.items():
+        got = loaded[k].float().numpy() if k == "bf" else loaded[k].numpy()
+        want = np.asarray(v, np.float32) if k == "bf" else np.asarray(v)
+        np.testing.assert_array_equal(got, want, err_msg=k)
+    torch.load(path, weights_only=False)           # legacy mode too
+
+
+def test_writer_roundtrip_own_reader(tmp_path):
+    from neurovit_tpu.training.torch_pth import save_torch_state_dict
+    rng = np.random.default_rng(1)
+    state = {"a": rng.standard_normal((7, 9)).astype(np.float32),
+             "s": np.float32(1.25)}
+    path = str(tmp_path / "rt.pth")
+    save_torch_state_dict(path, state)
+    back = load_torch_state_dict(path)
+    for k, v in state.items():
+        np.testing.assert_array_equal(back[k], np.asarray(v), err_msg=k)
+
+
+def test_writer_into_torch_module(tmp_path):
+    """A state dict exported here loads strict=True into the torch module
+    it was shaped for — the migrate-back direction of checkpoint interop."""
+    from neurovit_tpu.training.torch_pth import save_torch_state_dict
+    model = torch.nn.Sequential(
+        torch.nn.Linear(8, 16), torch.nn.LayerNorm(16), torch.nn.Linear(16, 2))
+    numpy_sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    path = str(tmp_path / "export.pth")
+    save_torch_state_dict(path, numpy_sd)
+    model2 = torch.nn.Sequential(
+        torch.nn.Linear(8, 16), torch.nn.LayerNorm(16), torch.nn.Linear(16, 2))
+    model2.load_state_dict(torch.load(path))       # strict by default
+    x = torch.randn(3, 8)
+    np.testing.assert_allclose(model2(x).detach().numpy(),
+                               model(x).detach().numpy(), atol=1e-6)
+
+
+def test_save_writes_torch_zip_and_legacy_pickle_still_loads(tmp_path):
+    import pickle
+    import zipfile
+    arr = np.arange(6, dtype=np.float32).reshape(2, 3)
+    new = str(tmp_path / "new.pkl")
+    sd.save(new, {"a": arr})
+    assert zipfile.is_zipfile(new)                 # torch.load-able artifact
+    np.testing.assert_array_equal(sd.load(new)["a"], arr)
+    np.testing.assert_array_equal(torch.load(new)["a"].numpy(), arr)
+    legacy = str(tmp_path / "legacy.pkl")
+    with open(legacy, "wb") as f:
+        pickle.dump({"a": arr}, f)
+    np.testing.assert_array_equal(sd.load(legacy)["a"], arr)
