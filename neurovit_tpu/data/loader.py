@@ -121,7 +121,12 @@ class DataLoader:
         """Reshuffle deterministically per epoch."""
         self.epoch = epoch
 
-    def _index_order(self) -> np.ndarray:
+    def _index_order(self):
+        """(indices, wrap_mask): wrap rows are the duplicates appended so
+        every rank yields the same number of batches in lockstep; they are
+        marked valid=False downstream so multi-host metrics don't
+        double-count up to world-1 samples per epoch (the same masking
+        mechanism _collate uses for padding)."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -130,11 +135,12 @@ class DataLoader:
             rank, world = self.shard
             mine = order[rank::world]
             target = self._shard_len()
+            wrap = np.zeros(target, np.bool_)
             if len(mine) < target:            # wrap so all ranks yield the
-                mine = np.concatenate(        # same number of batches
-                    [mine, mine[: target - len(mine)]])
-            return mine
-        return order
+                wrap[len(mine):] = True       # same number of batches
+                mine = np.concatenate([mine, mine[: target - len(mine)]])
+            return mine, wrap
+        return order, np.zeros(n, np.bool_)
 
     def _collate(self, samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
         n_real = len(samples)
@@ -173,6 +179,10 @@ class DataLoader:
         try:
             vols = read_batch(idxs, n_threads=self.num_workers)
             if vols is None:
+                # Fast path not applicable (transforms on, native lib
+                # absent, mixed geometries, ...): cheap per-batch check,
+                # no latch. C-level read FAILURES raise instead
+                # (native_io.read_batch) and latch below.
                 return None
             metas = [meta(int(i)) for i in idxs]
         except Exception as e:
@@ -201,7 +211,7 @@ class DataLoader:
         # while a persistently bad file doesn't trigger whole-batch re-reads
         # (double I/O) on every single batch.
         self._native_read_failed = False
-        order = self._index_order()
+        order, wrap = self._index_order()
         n_batches = len(self)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -212,14 +222,21 @@ class DataLoader:
                     for b in range(n_batches):
                         if stop.is_set():
                             return
-                        idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                        sl = slice(b * self.batch_size,
+                                   (b + 1) * self.batch_size)
+                        idxs, wraps = order[sl], wrap[sl]
                         batch = self._batched_read(idxs)
                         if batch is None:
-                            samples = list(pool.map(self._fetch, idxs))
-                            samples = [s for s in samples if s is not None]
-                            if not samples:
+                            pairs = [(s, w) for s, w in
+                                     zip(pool.map(self._fetch, idxs), wraps)
+                                     if s is not None]
+                            if not pairs:
                                 continue
-                            batch = self._collate(samples)
+                            batch = self._collate([s for s, _ in pairs])
+                            wraps = np.array([w for _, w in pairs])
+                            batch["valid"][:len(wraps)] &= ~wraps
+                        else:
+                            batch["valid"] = batch["valid"] & ~wraps
                         out_q.put(batch)
                 out_q.put(None)
             except BaseException as e:  # surface worker errors to the consumer

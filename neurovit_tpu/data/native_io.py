@@ -104,7 +104,15 @@ def read_batch(paths: Sequence[str], timepoints: Sequence[int],
         crop[2][0], crop[2][1], int(zscore),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         int(np.prod(shape_out)), n_threads)
-    return out.transpose(0, 3, 2, 1) if failures == 0 else None
+    if failures != 0:
+        # Distinct from the None "fast path not available" cases: the
+        # whole-batch read RAN and some file failed at the C level (e.g.
+        # truncated data section). Raising lets the loader latch its
+        # per-sample fallback instead of re-paying this doomed read on
+        # every subsequent batch.
+        raise RuntimeError(
+            f"native batch read failed for {failures} of {n} file(s)")
+    return out.transpose(0, 3, 2, 1)
 
 
 def clear_cache() -> None:

@@ -128,21 +128,29 @@ def readable_path(path: str,
     tmp = None
     try:
         st = os.stat(path)
-        key = hashlib.sha1(
-            f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}"
-            .encode()).hexdigest()[:16]
+        abspath = os.path.abspath(path)
+        # Two-part key: a path-only prefix (stable across file versions —
+        # the eviction scope) and a version hash (mtime/size — a replaced
+        # source file gets a fresh entry).
+        phash = hashlib.sha1(abspath.encode()).hexdigest()[:12]
+        vkey = hashlib.sha1(
+            f"{st.st_mtime_ns}|{st.st_size}".encode()).hexdigest()[:12]
         base = os.path.basename(path)[:-3]           # strip ".gz"
         cache_dir = cache_dir or default_gz_cache_dir()
-        dst = os.path.join(cache_dir, f"{key}_{base}")
+        entry = f"{phash}_{vkey}_{base}"
+        dst = os.path.join(cache_dir, entry)
         if os.path.exists(dst):
             return dst
         os.makedirs(cache_dir, exist_ok=True)
-        # Evict superseded entries for this basename (a replaced source file
-        # gets a new mtime/size key) so the cache doesn't grow one full-size
-        # copy per source-file version. Colliding basenames from different
-        # directories merely re-inflate — correctness is unaffected.
+        # Evict superseded entries for this SOURCE PATH only (same phash,
+        # older version key) so the cache doesn't grow one full-size copy
+        # per source-file version. Scoping eviction to the path hash — not
+        # the basename — matters: neuroimaging corpora name every subject's
+        # file identically (sub-NN/func.nii.gz), and basename-scoped
+        # eviction would make subjects evict each other on every cold
+        # lookup (permanent thrash + unlink races with concurrent readers).
         for name in os.listdir(cache_dir):
-            if name.endswith(f"_{base}") and name != f"{key}_{base}":
+            if name.startswith(f"{phash}_") and name != entry:
                 try:
                     os.remove(os.path.join(cache_dir, name))
                 except OSError:
@@ -151,7 +159,7 @@ def readable_path(path: str,
         # concurrently on a cold cache; a shared pid-keyed tmp would let one
         # writer truncate another's file mid-write). os.replace publishes
         # atomically, so concurrent winners agree on the final bytes.
-        fd, tmp = tempfile.mkstemp(prefix=f".{key}_{base}.tmp",
+        fd, tmp = tempfile.mkstemp(prefix=f".{entry}.tmp",
                                    dir=cache_dir)
         with gzip.open(path, "rb") as src, os.fdopen(fd, "wb") as out:
             while True:

@@ -147,6 +147,24 @@ def _probe_forward_jit(model, params, x):
     return logits, aux["probe"].astype(jnp.float32)
 
 
+def _channel_masks_hwd(acts_chunk, cs: int, grid: int):
+    """[K, S] token activations -> [K, H, W, D] minmax-normalized input
+    masks.
+
+    The token stream is (d, h, w)-ordered (the encoder permutes the
+    [B, H, W, D] volume to [B, 1, D, H, W] before patchify,
+    neuro_encoder.py:123), while the model's INPUT volumes are [H, W, D] —
+    so after upsampling on the token grid the mask must be transposed
+    (d, h, w) -> (h, w, d) before it can multiply the input."""
+    k = acts_chunk.shape[0]
+    masks = acts_chunk.reshape(k, cs, cs, cs)                  # (k, d, h, w)
+    masks = jax.image.resize(masks, (k, grid, grid, grid), method="trilinear")
+    masks = masks.transpose(0, 2, 3, 1)                        # (k, h, w, d)
+    lo = masks.min(axis=(1, 2, 3), keepdims=True)
+    hi = masks.max(axis=(1, 2, 3), keepdims=True)
+    return (masks - lo) / (hi - lo + 1e-8)
+
+
 @partial(jax.jit, static_argnums=(0, 4))
 def _scorecam_chunk_jit(model, params, x1, acts_chunk, grid):
     """Scores of one sample masked by one chunk of activation channels.
@@ -154,13 +172,8 @@ def _scorecam_chunk_jit(model, params, x1, acts_chunk, grid):
     x1: [1, H, W, D]; acts_chunk: [K, S] token activations (CLS dropped) ->
     [K] target-class logits of x1 * minmax(upsample(A_c)).
     """
-    k = acts_chunk.shape[0]
     cs = model.vit_cfg.image_size // model.vit_cfg.image_patch_size
-    masks = acts_chunk.reshape(k, cs, cs, cs)
-    masks = jax.image.resize(masks, (k, grid, grid, grid), method="trilinear")
-    lo = masks.min(axis=(1, 2, 3), keepdims=True)
-    hi = masks.max(axis=(1, 2, 3), keepdims=True)
-    masks = (masks - lo) / (hi - lo + 1e-8)
+    masks = _channel_masks_hwd(acts_chunk, cs, grid)
     logits, _ = model.apply(params, x1 * masks, deterministic=True)
     return logits
 

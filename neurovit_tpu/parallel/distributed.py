@@ -70,3 +70,20 @@ def global_batch(host_batch, mesh) -> Any:
     if jax.process_count() == 1:
         return jax.device_put(host_batch, sharding)
     return jax.make_array_from_process_local_data(sharding, host_batch)
+
+
+def local_rows(arr) -> Any:
+    """This process's rows of a batch-dim-sharded global array, as numpy.
+
+    The inverse of :func:`global_batch` for per-sample outputs (e.g. eval
+    predictions): on a multi-process mesh the global array is not fully
+    addressable, so ``np.asarray`` raises — instead concatenate the
+    addressable shards in batch-index order, which are exactly the rows
+    this process contributed (DP sharding keeps row i on its source
+    device). Fully-addressable arrays pass straight through."""
+    import numpy as np
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards])

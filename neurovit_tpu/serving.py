@@ -198,18 +198,41 @@ def main(argv=None) -> None:
     predictor = Predictor.from_checkpoint(config, ckpt_path,
                                           batch_size=args.batch_size)
 
-    jobs = list(_collect_volume_jobs(args.inputs, crop=not args.no_crop))
-    if not jobs:
-        raise SystemExit("no input volumes found")
-    volumes = np.stack([v for _, _, v in jobs])
-    labels, probs = predictor(volumes)
-    with open(args.output, "w", newline="") as f:
-        writer = csv.writer(f)
-        writer.writerow(["path", "timepoint", "prediction"]
-                        + [f"prob_{c}" for c in range(probs.shape[1])])
-        for (path, t, _), label, p in zip(jobs, labels, probs):
+    # Stream compiled-batch-sized chunks through the predictor: memory
+    # stays bounded at batch_size volumes regardless of manifest length
+    # (a few thousand 90^3 rows would otherwise hold tens of GB on the
+    # host — once in the job list and again in a monolithic np.stack).
+    n_rows = 0
+    writer = None
+    chunk_meta, chunk_vols = [], []
+
+    def flush(f):
+        nonlocal writer, n_rows
+        if not chunk_vols:
+            return
+        labels, probs = predictor(np.stack(chunk_vols))
+        if writer is None:
+            writer = csv.writer(f)
+            writer.writerow(["path", "timepoint", "prediction"]
+                            + [f"prob_{c}" for c in range(probs.shape[1])])
+        for (path, t), label, p in zip(chunk_meta, labels, probs):
             writer.writerow([path, t, int(label)] + [f"{v:.6f}" for v in p])
-    print(f"Wrote {len(jobs)} predictions to {args.output}")
+        n_rows += len(chunk_meta)
+        chunk_meta.clear()
+        chunk_vols.clear()
+
+    with open(args.output, "w", newline="") as f:
+        for path, t, vol in _collect_volume_jobs(args.inputs,
+                                                 crop=not args.no_crop):
+            chunk_meta.append((path, t))
+            chunk_vols.append(vol)
+            if len(chunk_vols) == args.batch_size:
+                flush(f)
+        flush(f)
+    if n_rows == 0:
+        os.remove(args.output)
+        raise SystemExit("no input volumes found")
+    print(f"Wrote {n_rows} predictions to {args.output}")
 
 
 if __name__ == "__main__":

@@ -44,6 +44,7 @@ from neurovit_tpu.data.loader import DataLoader
 from neurovit_tpu.models.neuro_encoder import NeuroEncoder
 from neurovit_tpu.parallel import (create_mesh, param_shardings,
                                    replicated, shard_batch)
+from neurovit_tpu.parallel import distributed
 from neurovit_tpu.training.metrics import MetricLogger
 from neurovit_tpu.training import checkpoint as ckpt
 
@@ -452,7 +453,10 @@ class Trainer:
             m = self._eval_step(self.train_state["params"],
                                 self.train_state["model_state"], device_batch,
                                 zyx)
-            preds = np.asarray(m["preds"])
+            # On a multi-process mesh preds is a global (non-fully-
+            # addressable) array; take this process's rows, which align
+            # with host_batch's local labels/valid (parallel.distributed).
+            preds = distributed.local_rows(m["preds"])
             labels = host_batch["label"]
             valid = host_batch["valid"]             # padding rows are False
             for j in range(len(preds)):

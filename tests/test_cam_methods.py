@@ -234,3 +234,25 @@ def test_smoothing_flags_rejected_for_ref_variant(setup):
         with pytest.raises(ValueError, match="no smoothing flags"):
             cam_methods.compute_cam(model, variables, v,
                                     method="gradcam-ref", **kwargs)
+
+
+def test_scorecam_masks_are_input_oriented():
+    """The ScoreCAM channel masks must be (h, w, d)-oriented like the model
+    INPUT, not (d, h, w)-oriented like the token stream: a channel whose
+    activation is one-hot at token grid position (d0, h0, w0) must mask the
+    input around voxel (h0, w0, d0). Regression for the silent transpose
+    (token order comes from the encoder's [B,H,W,D] -> [B,1,D,H,W] permute,
+    neuro_encoder.py:123)."""
+    cs, patch = 4, 5
+    grid = cs * patch
+    d0, h0, w0 = 1, 3, 0                              # deliberately distinct
+    acts = np.zeros((1, cs ** 3), np.float32)
+    acts[0, (d0 * cs + h0) * cs + w0] = 1.0           # (d, h, w) token order
+    mask = np.asarray(cam_methods._channel_masks_hwd(
+        jnp.asarray(acts), cs, grid))[0]              # [H, W, D]
+    hot = np.unravel_index(np.argmax(mask), mask.shape)
+    want = (h0 * patch + patch // 2, w0 * patch + patch // 2,
+            d0 * patch + patch // 2)
+    assert all(abs(a - b) <= patch // 2 for a, b in zip(hot, want)), \
+        f"mask peak {hot} not at input voxel {want}"
+    assert mask.min() >= 0.0 and mask.max() <= 1.0

@@ -120,8 +120,41 @@ def test_sharded_loader_partitions_index_space():
             labels += [int(l) for l, v in zip(batch["label"], batch["valid"])
                        if v]
         seen.append(labels)
-    assert len(seen[0]) == len(seen[1]) == 6          # 5-sample shard wrapped
-    # Union covers the whole dataset; overlap only from the wrap row.
+    # The 5-sample shard wraps one row for lockstep batch counts, but the
+    # wrap row is valid=False: every sample is seen exactly ONCE across
+    # ranks (no multi-host metric double-counting).
+    assert sorted(len(s) for s in seen) == [5, 6]
     union = set(seen[0]) | set(seen[1])
     assert union == set(range(11))
-    assert len(set(seen[0]) & set(seen[1])) <= 1
+    assert not set(seen[0]) & set(seen[1])
+    assert len(seen[0]) + len(seen[1]) == 11
+
+
+class NativeToyDataset(ToyDataset):
+    """Dataset exposing the native whole-batch interface whose C-level read
+    always fails (raises, native_io.read_batch contract)."""
+
+    def __init__(self, n):
+        super().__init__(n)
+        self.batch_calls = 0
+
+    def sample_meta(self, idx):
+        return {"label": idx % 2, "subject": f"s{idx}", "timepoint": 0}
+
+    def read_batch_volumes(self, idxs, n_threads=8):
+        self.batch_calls += 1
+        raise RuntimeError("native batch read failed for 1 of 8 file(s)")
+
+
+def test_failed_native_batch_read_latches_per_sample_fallback(capsys):
+    """A C-level batch-read failure must (a) fall back to per-sample reads
+    for that batch and (b) latch: later batches skip the doomed whole-batch
+    read instead of re-paying it (ADVICE r2; the latch resets per epoch)."""
+    ds = NativeToyDataset(32)
+    loader = DataLoader(ds, batch_size=8, shuffle=False, seed=0)
+    batches = list(loader)
+    assert len(batches) == 4 and all(b["valid"].all() for b in batches)
+    assert ds.batch_calls == 1          # latched after the first failure
+    assert "falling back to per-sample" in capsys.readouterr().out
+    list(loader)                        # new epoch: one fresh chance
+    assert ds.batch_calls == 2

@@ -176,3 +176,33 @@ def test_gz_cache_concurrent_inflation(tmp_path, monkeypatch):
         np.testing.assert_allclose(r, series[..., 1], atol=1e-6)
     import os
     assert not [f for f in os.listdir(cache) if ".tmp" in f]
+
+
+def test_gz_cache_same_basename_different_dirs_coexist(tmp_path, monkeypatch):
+    """Eviction is scoped to the SOURCE PATH, not the basename: subjects
+    that all name their file func.nii.gz (the standard neuroimaging layout)
+    must not evict each other — basename-scoped eviction thrashed the cache
+    back to a per-access full gunzip."""
+    import os
+    cache = tmp_path / "cache"
+    monkeypatch.setenv("NEUROVIT_GZ_CACHE_DIR", str(cache))
+    paths, vols = [], []
+    for sub in ("sub-01", "sub-02", "sub-03"):
+        d = tmp_path / sub
+        d.mkdir()
+        src = str(d / "func.nii.gz")
+        vol = np.full((4, 4, 4), float(len(paths)), np.float32)
+        nifti.save(src, vol)
+        paths.append(src)
+        vols.append(vol)
+    firsts = [nifti.readable_path(p) for p in paths]
+    assert len(set(firsts)) == 3
+    # Revisit in shuffled order: every entry must still be a cache HIT
+    # (same resolved path, still on disk) — no mutual eviction.
+    for i in (1, 0, 2, 1, 0):
+        again = nifti.readable_path(paths[i])
+        assert again == firsts[i] and os.path.exists(again)
+        np.testing.assert_array_equal(
+            np.asarray(nifti.load(again).dataobj), vols[i])
+    entries = [f for f in os.listdir(cache) if f.endswith("func.nii")]
+    assert len(entries) == 3

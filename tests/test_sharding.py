@@ -175,3 +175,18 @@ def test_tensor_parallel_shardings(tiny_config):
     # correspondingly looser tolerance.
     np.testing.assert_allclose(np.asarray(logits_rep), np.asarray(logits_tp),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_local_rows_orders_shards_by_batch_index():
+    """distributed.local_rows reassembles a batch-sharded array's
+    addressable shards in batch order (the multi-host eval path; on one
+    host it must equal np.asarray of the whole array)."""
+    import numpy as np
+    from neurovit_tpu.parallel import create_mesh
+    from neurovit_tpu.parallel.distributed import global_batch, local_rows
+
+    mesh = create_mesh({"MESH_DATA_AXIS": -1})
+    x = np.arange(mesh.size * 3 * 2, dtype=np.float32).reshape(
+        mesh.size * 3, 2)
+    arr = global_batch(x, mesh)
+    np.testing.assert_array_equal(local_rows(arr), x)
