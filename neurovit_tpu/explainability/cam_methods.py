@@ -196,15 +196,20 @@ def _ablation_chunk_jit(model, params, x1, acts1, channels):
     return logits
 
 
-def _forward_cam_raw(model, params, x, method: str, score_batch: int,
-                     eigen_smooth: bool) -> Tuple[jax.Array, jax.Array]:
-    grid = model.vit_cfg.image_size
-    cs = grid // model.vit_cfg.image_patch_size
+def _forward_method_token_cam(model, params, x, logits, acts, class_idx,
+                              method: str, score_batch: int,
+                              eigen_smooth: bool, scorecam_chunk
+                              ) -> jax.Array:
+    """Shared scorecam/ablationcam scoring loop -> flat token CAM [B, S].
+
+    Grid-rank agnostic: the 3D menu and the 2D tutorial workflow
+    (vit_cam_2d) differ only in how a channel chunk is upsampled into an
+    input mask, injected via ``scorecam_chunk(x1, acts_chunk) -> logits``
+    (the ablation chunk is already shape-agnostic over the token stream).
+    Callers reshape the result onto their own patch grid.
+    """
     dim = model.vit_cfg.dim
     b = x.shape[0]
-    logits, acts = _probe_forward_jit(model, params, x)
-    class_idx = jnp.argmax(logits, axis=1)
-
     # Pad the channel axis to whole chunks: one compiled shape per model.
     n_chunks = -(-dim // score_batch)
     pad = n_chunks * score_batch - dim
@@ -217,8 +222,7 @@ def _forward_cam_raw(model, params, x, method: str, score_batch: int,
             a_tok = acts[i, 1:, :].T                           # [C, S]
             a_tok = jnp.pad(a_tok, ((0, pad), (0, 0)))
             for c0 in range(0, dim + pad, score_batch):
-                lg = _scorecam_chunk_jit(model, params, x1,
-                                         a_tok[c0:c0 + score_batch], grid)
+                lg = scorecam_chunk(x1, a_tok[c0:c0 + score_batch])
                 scores.append(lg[:, cls])
             w = jax.nn.softmax(jnp.concatenate(scores)[:dim])  # [C]
         else:                                                  # ablationcam
@@ -240,7 +244,21 @@ def _forward_cam_raw(model, params, x, method: str, score_batch: int,
         weighted = w[None, None, :] * acts[i:i + 1, 1:, :]     # [1, S, C]
         cams.append(_principal_projection(weighted)[0] if eigen_smooth
                     else jnp.sum(weighted[0], axis=1))
-    return jnp.stack(cams).reshape(b, cs, cs, cs), class_idx
+    return jnp.stack(cams)
+
+
+def _forward_cam_raw(model, params, x, method: str, score_batch: int,
+                     eigen_smooth: bool) -> Tuple[jax.Array, jax.Array]:
+    grid = model.vit_cfg.image_size
+    cs = grid // model.vit_cfg.image_patch_size
+    b = x.shape[0]
+    logits, acts = _probe_forward_jit(model, params, x)
+    class_idx = jnp.argmax(logits, axis=1)
+    cam = _forward_method_token_cam(
+        model, params, x, logits, acts, class_idx, method, score_batch,
+        eigen_smooth,
+        lambda x1, a: _scorecam_chunk_jit(model, params, x1, a, grid))
+    return cam.reshape(b, cs, cs, cs), class_idx
 
 
 # --------------------------------------------------------------------------

@@ -35,19 +35,32 @@ def finalize_cam(cam: jax.Array, grid: int, threshold: float) -> jax.Array:
     per-sample — a batched call must not couple samples through shared
     statistics.
     """
+    return finalize_cam_nd(cam, (grid, grid, grid), threshold,
+                           method="trilinear")
+
+
+def finalize_cam_nd(cam: jax.Array, out_shape, threshold: float,
+                    method: str) -> jax.Array:
+    """Rank-agnostic CAM tail: [B, *patch_grid] -> [B, *out_shape].
+
+    Shared by the 3D menu and the 2D tutorial workflow (vit_cam_2d) so the
+    normalization/threshold semantics can't silently diverge between the
+    two (review r3)."""
     b = cam.shape[0]
+    axes = tuple(range(1, cam.ndim))
     cam = jax.nn.relu(cam)
-    cam_min = cam.min(axis=(1, 2, 3), keepdims=True)
-    cam_max = cam.max(axis=(1, 2, 3), keepdims=True)
+    cam_min = cam.min(axis=axes, keepdims=True)
+    cam_max = cam.max(axis=axes, keepdims=True)
     cam = (cam - cam_min) / (cam_max - cam_min + 1e-8)         # (…:120)
     # Keep the top `threshold`% voxels (np.percentile(cam, 100-t), …:121-123).
     flat = cam.reshape(b, -1)
-    threshold_value = jnp.percentile(flat, 100.0 - threshold,
-                                     axis=1)[:, None, None, None]
+    threshold_value = jnp.percentile(
+        flat, 100.0 - threshold,
+        axis=1).reshape((b,) + (1,) * len(axes))
     cam = jnp.where(cam >= threshold_value, cam, 0.0)
-    # Trilinear upsample with half-pixel centers == F.interpolate(mode=
-    # 'trilinear', align_corners=False) (…:126-131).
-    return jax.image.resize(cam, (b, grid, grid, grid), method="trilinear")
+    # Half-pixel-centered upsample == F.interpolate(mode='trilinear'/
+    # 'bilinear', align_corners=False) (…:126-131).
+    return jax.image.resize(cam, (b,) + tuple(out_shape), method=method)
 
 
 def probe_acts_grads(model, params: Dict, x: jax.Array):

@@ -167,17 +167,11 @@ def train_demo_model(model: ViT2D, *, steps: int = 300, batch: int = 32,
 
 def finalize_cam_2d(cam: jax.Array, size: int, threshold: float) -> jax.Array:
     """2D CAM tail: ReLU -> per-sample min-max -> percentile threshold ->
-    bilinear upsample to [B, size, size] (finalize_cam, one dimension down;
-    upstream scale_cam_image + the reference's threshold quirk)."""
-    b = cam.shape[0]
-    cam = jax.nn.relu(cam)
-    lo = cam.min(axis=(1, 2), keepdims=True)
-    hi = cam.max(axis=(1, 2), keepdims=True)
-    cam = (cam - lo) / (hi - lo + 1e-8)
-    tval = jnp.percentile(cam.reshape(b, -1), 100.0 - threshold,
-                          axis=1)[:, None, None]
-    cam = jnp.where(cam >= tval, cam, 0.0)
-    return jax.image.resize(cam, (b, size, size), method="bilinear")
+    bilinear upsample to [B, size, size] (gradcam_vit3d.finalize_cam_nd,
+    one dimension down; upstream scale_cam_image + the reference's
+    threshold quirk)."""
+    from neurovit_tpu.explainability.gradcam_vit3d import finalize_cam_nd
+    return finalize_cam_nd(cam, (size, size), threshold, method="bilinear")
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4))
@@ -207,47 +201,21 @@ def _scorecam_chunk_2d(model, params, x1, acts_chunk):
 
 def _forward_cam_raw_2d(model, params, x, method: str, score_batch: int,
                         eigen_smooth: bool):
-    """scorecam/ablationcam over the 2D grid; the ablation chunk reuses the
-    3D menu's probe-shift kernel (it is shape-agnostic over the token
-    stream)."""
+    """scorecam/ablationcam over the 2D grid: the per-sample scoring loop
+    is cam_methods._forward_method_token_cam (shared with the 3D menu);
+    only the channel-mask upsample is 2D-specific."""
     cs = model.vit_cfg.image_size // model.vit_cfg.image_patch_size
-    dim = model.vit_cfg.dim
     b = x.shape[0]
     n_tokens = model.vit_cfg.num_patches + 1
-    zeros = jnp.zeros((b, n_tokens, dim), jnp.float32)
+    zeros = jnp.zeros((b, n_tokens, model.vit_cfg.dim), jnp.float32)
     logits, aux = model.apply(params, x, probe_shift=zeros)
     acts = aux["probe"].astype(jnp.float32)
     class_idx = jnp.argmax(logits, axis=1)
-
-    n_chunks = -(-dim // score_batch)
-    pad = n_chunks * score_batch - dim
-    cams = []
-    for i in range(b):
-        x1, cls = x[i:i + 1], class_idx[i]
-        scores = []
-        if method == "scorecam":
-            a_tok = jnp.pad(acts[i, 1:, :].T, ((0, pad), (0, 0)))
-            for c0 in range(0, dim + pad, score_batch):
-                lg = _scorecam_chunk_2d(model, params, x1,
-                                        a_tok[c0:c0 + score_batch])
-                scores.append(lg[:, cls])
-            w = jax.nn.softmax(jnp.concatenate(scores)[:dim])
-        else:                                                  # ablationcam
-            chan = jnp.pad(jnp.arange(dim), (0, pad))
-            for c0 in range(0, dim + pad, score_batch):
-                lg = cam_methods._ablation_chunk_jit(
-                    model, params, x1, acts[i:i + 1],
-                    chan[c0:c0 + score_batch])
-                scores.append(lg[:, cls])
-            ablated = jnp.concatenate(scores)[:dim]
-            base = logits[i, cls]
-            safe = jnp.where(jnp.abs(base) > 1e-8, base,
-                             jnp.where(base < 0, -1e-8, 1e-8))
-            w = (base - ablated) / safe
-        weighted = w[None, None, :] * acts[i:i + 1, 1:, :]
-        cams.append(cam_methods._principal_projection(weighted)[0]
-                    if eigen_smooth else jnp.sum(weighted[0], axis=1))
-    return jnp.stack(cams).reshape(b, cs, cs), class_idx
+    cam = cam_methods._forward_method_token_cam(
+        model, params, x, logits, acts, class_idx, method, score_batch,
+        eigen_smooth,
+        lambda x1, a: _scorecam_chunk_2d(model, params, x1, a))
+    return cam.reshape(b, cs, cs), class_idx
 
 
 def compute_cam_2d(model: ViT2D, variables: Dict, image,
