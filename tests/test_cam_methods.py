@@ -164,16 +164,19 @@ def test_methods_localize_cube_after_training(tiny_config):
     variables = {"params": trainer.train_state["params"]}
 
     # Only the methods that are robust on SIGNED LayerNorm activations are
-    # strictly asserted. Measured on this trained 2-block model (hits/8 over
-    # val samples): xgradcam 8, scorecam 8, gradcam-ref 7 (pinned by
-    # test_gradcam_localization), layercam 5, eigengradcam 5, gradcam 3,
-    # eigencam 3, ablationcam 3, gradcam++ 2. The weak ones reproduce the
-    # upstream formulas faithfully (pinned numerically above) but those
-    # formulas assume non-negative CNN feature maps — on a zero-centered
-    # ViT norm layer their channel weights are unreliable, which is a
-    # property of the methods, not the port (see cam_methods module
-    # docstring).
-    for method in ("xgradcam", "scorecam"):
+    # strictly asserted. Measured on this trained 2-block model with the
+    # volume-order CAM rendering (token_grid_to_volume; hits over val
+    # samples): gradcam-ref 16/16 (pinned by test_gradcam_localization),
+    # layercam 16/16, scorecam 8/8, gradcam 8/16, xgradcam 4/8,
+    # eigen/ablation variants weaker. The weak ones reproduce the upstream
+    # formulas faithfully (pinned numerically above) but those formulas
+    # assume non-negative CNN feature maps — on a zero-centered ViT norm
+    # layer their channel weights are unreliable, which is a property of
+    # the methods, not the port (see cam_methods module docstring). The
+    # rendering permutation itself is pinned by the same protocol: under
+    # the reference's token-order rendering these scores drop to ~chance
+    # (gradcam-ref 7/16), see token_grid_to_volume.
+    for method in ("layercam", "scorecam"):
         hits, total = 0, 0
         for idx in range(4):
             sample = ds_val.sample(idx)
