@@ -39,15 +39,16 @@ gradients over every norm layer in the network, which is a different capture
 contract than the single probe layer all other methods (and the reference's
 hooks) share; the tutorial never ran it on the 3D model either.
 
-Method-quality caveat (measured, tests/test_cam_methods.py): the probe layer
-is a LayerNorm output — zero-centered and SIGNED — while gradcam/gradcam++/
+Method-quality caveat (measured, tests/test_cam_methods.py, with the
+volume-order rendering of ``token_grid_to_volume``): the probe layer is a
+LayerNorm output — zero-centered and SIGNED — while gradcam/gradcam++/
 ablationcam/eigencam were derived for non-negative CNN feature maps. On a
-trained cube-task model the robust localizers here are ``xgradcam`` and
-``scorecam`` (8/8 val samples) and the reference's own ``gradcam-ref``
-(7/8); ``layercam``/``eigengradcam`` are middling (5/8) and the rest are
-unreliable on this layer (2-3/8) despite reproducing the upstream formulas
-exactly (numerically pinned in tests). This mirrors upstream pytorch_grad_cam
-behavior on ViTs, where method choice matters far more than on CNNs.
+trained cube-task model the robust localizers here are ``gradcam-ref``
+(16/16 val samples), ``layercam`` (16/16) and ``scorecam`` (8/8);
+``gradcam`` is middling (8/16) and the rest are unreliable on this layer
+despite reproducing the upstream formulas exactly (numerically pinned in
+tests). This mirrors upstream pytorch_grad_cam behavior on ViTs, where
+method choice matters far more than on CNNs.
 """
 
 from __future__ import annotations
