@@ -259,3 +259,27 @@ def test_scorecam_masks_are_input_oriented():
     assert all(abs(a - b) <= patch // 2 for a, b in zip(hot, want)), \
         f"mask peak {hot} not at input voxel {want}"
     assert mask.min() >= 0.0 and mask.max() <= 1.0
+
+
+def test_token_grid_order_is_zxy():
+    """Pins the convention the CAM rendering depends on: the encoder maps
+    volume cell (x, y, z) to token grid position (f, h, w) = (z, x, y)
+    (neuro_encoder.py:123 permute + vit3d.patchify). If this ever changes,
+    token_grid_to_volume must change with it."""
+    from neurovit_tpu.models import vit3d
+    cs, patch = 4, 5
+    grid = cs * patch
+    cfg = vit3d.ViTConfig(image_size=grid, image_patch_size=patch,
+                          frames=grid, frame_patch_size=patch,
+                          num_classes=2, dim=16, depth=1, heads=2,
+                          dim_head=8, mlp_dim=32)
+    cx, cy, cz = 3, 0, 1
+    vol = np.zeros((1, grid, grid, grid), np.float32)
+    vol[0, cx * patch:(cx + 1) * patch, cy * patch:(cy + 1) * patch,
+        cz * patch:(cz + 1) * patch] = 1.0
+    x = jnp.asarray(vol).transpose(0, 3, 1, 2)[:, None]   # encoder permute
+    tokens = vit3d.patchify(x, cfg)
+    t = int(jnp.argmax(jnp.abs(tokens[0]).sum(-1)))
+    f0, rem = divmod(t, cs * cs)
+    h0, w0 = divmod(rem, cs)
+    assert (f0, h0, w0) == (cz, cx, cy)
