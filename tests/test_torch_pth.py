@@ -159,3 +159,45 @@ def test_save_writes_torch_zip_and_legacy_pickle_still_loads(tmp_path):
     with open(legacy, "wb") as f:
         pickle.dump({"a": arr}, f)
     np.testing.assert_array_equal(sd.load(legacy)["a"], arr)
+
+
+def test_export_roundtrip_into_torch_reference_model(tiny_config, tmp_path):
+    """The migrate-BACK path: a model trained here -> .state_dict.pkl
+    (torch-zip) -> torch.load -> reference-style torch module, with forward
+    parity. This is what lets reference tooling (its CAM scripts'
+    torch.load) consume checkpoints produced by this framework."""
+    import jax
+    import jax.numpy as jnp
+    from neurovit_tpu.models import NeuroEncoder
+    from torch_ref import TorchViT3D
+
+    config = dict(tiny_config, MODEL_VIT_DEPTH=2)
+    model = NeuroEncoder(config)
+    params = model.init(jax.random.key(7))["params"]
+    path = str(tmp_path / "export.state_dict.pkl")
+    sd.save(path, sd.to_state_dict(model, params, None))
+
+    loaded = torch.load(path)                      # reference-side load
+    # Invert the mirror's ref_state_dict key scheme: drop the encoder
+    # prefix; mirror ``layers`` == reference ``transformer.layers``.
+    prefix = "volume_encoder.vit3d."
+    stripped = {}
+    for k, v in loaded.items():
+        if not k.startswith(prefix):
+            continue
+        k = k[len(prefix):]
+        if k.startswith("transformer.layers."):
+            k = k[len("transformer."):]
+        stripped[k] = v
+    tmodel = TorchViT3D(
+        image_size=20, image_patch_size=5, frames=20, frame_patch_size=5,
+        num_classes=8, dim=64, depth=2, heads=4, dim_head=16, mlp_dim=128,
+        channels=1).eval()
+    tmodel.load_state_dict(stripped, strict=True)
+
+    vol = np.random.RandomState(2).randn(2, 20, 20, 20).astype(np.float32)
+    ours, _ = model.apply(params, jnp.asarray(vol))
+    tin = torch.from_numpy(vol).permute(0, 3, 1, 2).unsqueeze(1)
+    with torch.no_grad():
+        theirs = tmodel(tin).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4, atol=1e-4)
