@@ -110,3 +110,33 @@ def test_params_only_load_skips_bn_stats_nonstrict(tiny_config):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     with pytest.raises(ValueError, match="load_into_variables"):
         sd.load_into(model, fresh["params"], exported, strict=True)
+
+
+def test_resnet_export_roundtrip_into_torch_model(tiny_config, tmp_path):
+    """Migrate-back: a ResNet state dict saved here (torch-zip format) loads
+    via plain torch.load into the reference-style torch model strict=True,
+    with eval-mode forward parity — the file the reference CAM scripts
+    would consume (gradcam.py:27-30)."""
+    model = _resnet_model(tiny_config)
+    variables = _randomized_variables(model, seed=3)
+    path = str(tmp_path / "resnet.state_dict.pkl")
+    sd.save(path, sd.to_state_dict(model, variables["params"],
+                                   variables["state"]))
+
+    loaded = torch.load(path)
+    prefix = "resnet_3d.resnet."
+    stripped = {k[len(prefix):]: v for k, v in loaded.items()
+                if k.startswith(prefix)}
+    tmodel = TorchResNet3D(layers=(1, 1, 1, 1), n_classes=2,
+                           n_input_channels=1)
+    tmodel.load_state_dict(stripped, strict=True)
+    tmodel.eval()
+
+    x = np.random.RandomState(5).randn(2, 20, 20, 20).astype(np.float32)
+    ours, _ = model.apply(variables["params"], jnp.asarray(x),
+                          state=variables["state"])
+    with torch.no_grad():
+        theirs = tmodel(
+            torch.from_numpy(x).permute(0, 3, 1, 2).unsqueeze(1)).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4,
+                               atol=1e-4)
