@@ -59,19 +59,26 @@ def _neg(dtype):
 # Forward: window max + argmax code
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(xm_ref, x0_ref, xp_ref, out_ref, amax_ref, *, d_in, h, w):
+def _fwd_kernel(xm_ref, x0_ref, xp_ref, out_ref, amax_ref,
+                sv_ref, sc_ref, *, d_in, h, w):
     oh, ow = _out_dim(h), _out_dim(w)
     od = pl.program_id(1)
-    dtype = x0_ref.dtype
+    # All value work is f32: Mosaic on TPU v5e rejects bf16 vector
+    # compares outright ("Target does not support this comparison",
+    # arith.cmpf on vector<..bf16>) — and the strided scratch read needs
+    # 32-bit elements anyway.  Interpret mode (CPU tests) accepts bf16
+    # compares, so only the on-chip compile catches this.
+    dtype = jnp.float32
     neg = _neg(dtype)
 
     # Depth combine (kd = 0..2 -> input depth 2*od - 1 + kd), first strict
     # winner keeps the lowest kd.  Out-of-range depth rows (the p=1 pad)
     # are masked to -inf; their ref index was clamped so the DMA is safe.
-    best = jnp.where(od > 0, xm_ref[...], neg)
+    best = jnp.where(od > 0, xm_ref[...].astype(dtype), neg)
     kcode = jnp.zeros(best.shape, jnp.int32)
-    for kd, row in ((1, x0_ref[...]),
-                    (2, jnp.where(2 * od + 2 <= d_in, xp_ref[...], neg))):
+    for kd, row in ((1, x0_ref[...].astype(dtype)),
+                    (2, jnp.where(2 * od + 2 <= d_in,
+                                  xp_ref[...].astype(dtype), neg))):
         upd = row > best
         kcode = jnp.where(upd, kd, kcode)
         best = jnp.maximum(best, row)
@@ -102,9 +109,15 @@ def _fwd_kernel(xm_ref, x0_ref, xp_ref, out_ref, amax_ref, *, d_in, h, w):
                 best2 = jnp.maximum(best2, tap)
 
     # Stride-2 downsample to output resolution (even positions are the
-    # window centres for k=3, s=2, p=1).
-    out_ref[...] = best2[:2 * oh:2, :2 * ow:2, :]
-    amax_ref[...] = code2[:2 * oh:2, :2 * ow:2, :]
+    # window centres for k=3, s=2, p=1).  Mosaic lowers strided VALUE
+    # indexing to gather (2-D only) but strided REF reads to
+    # tpu.strided_load — bounce through VMEM scratch (the value-slice
+    # form fails to lower on real TPU).  strided_load requires 32-bit
+    # element types; best2 is already f32 (codes are int32).
+    sv_ref[...] = best2
+    sc_ref[...] = code2
+    out_ref[...] = sv_ref[:2 * oh:2, :2 * ow:2, :].astype(out_ref.dtype)
+    amax_ref[...] = sc_ref[:2 * oh:2, :2 * ow:2, :]
 
 
 def max_pool3d_argmax(x, *, interpret=None):
@@ -139,6 +152,8 @@ def max_pool3d_argmax(x, *, interpret=None):
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((b, od, oh, ow, c), x.dtype),
                    jax.ShapeDtypeStruct((b, od, oh, ow, c), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((h, w, c), jnp.float32),
+                        pltpu.VMEM((h, w, c), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,

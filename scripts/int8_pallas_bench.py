@@ -81,15 +81,37 @@ def dynquant_matmul(a_i8, b_i8, sa, sb, *, bm=256, bn=256):
     )(a_i8, b_i8, sa, sb)
 
 
-def timeit(fn, *args, iters=10):
-    # Hard-sync by fetching a scalar (CLAUDE.md: block_until_ready can
-    # return early on the remote platform).
-    chained = jax.jit(lambda *a: jnp.sum(fn(*a)[:1, :1].astype(jnp.float32)))
-    _ = float(chained(*args))
-    t0 = time.time()
-    for _ in range(iters):
-        _ = float(chained(*args))
-    return (time.time() - t0) / iters
+def _chained(fn, reps):
+    """`reps` matmuls over distinct A slices in ONE jit (lax.scan body =
+    one pallas_call).  A single scalar fetch syncs the whole chain, so the
+    ~30-35 ms tunnel RTT of this box is paid once per chain, not per GEMM."""
+    @jax.jit
+    def run(a_stack, *rest):
+        def body(acc, a):
+            o = fn(a, *rest)
+            return acc + o[0, 0].astype(jnp.float32), None
+        return jax.lax.scan(body, jnp.float32(0), a_stack)[0]
+    return run
+
+
+def timeit(fn, a, *rest, iters=8, reps_hi=96, reps_lo=8):
+    """Per-GEMM seconds via a two-point chain-length fit: the difference
+    t(reps_hi) - t(reps_lo) cancels the constant per-call RTT + sync cost
+    that swamped the naive per-call timing (each GEMM here is < 1 ms; the
+    tunnel round trip is ~35 ms with tens-of-ms jitter — hence min-of-iters
+    at each point and an 88-GEMM spread to keep the delta above the noise)."""
+    ts = {}
+    for reps in (reps_lo, reps_hi):
+        stack = jnp.broadcast_to(a, (reps,) + a.shape)
+        run = _chained(fn, reps)
+        _ = float(run(stack, *rest))          # compile + warm
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.time()
+            _ = float(run(stack, *rest))
+            best = min(best, time.time() - t0)
+        ts[reps] = best
+    return max(ts[reps_hi] - ts[reps_lo], 1e-9) / (reps_hi - reps_lo)
 
 
 # Flagship serving GEMMs (b64 serving: M = 64*1352 tokens row-blocked) +
