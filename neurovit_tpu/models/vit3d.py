@@ -290,7 +290,26 @@ def _attention_residual(block: dict, x: jax.Array, cfg: ViTConfig, *,
     out-projection + dropout + residual kernel (ops/fused_outproj.py).
     No standalone LayerNorm, no head transpose, no separate dropout or
     residual pass touches HBM. Falls back to the XLA composition when the
-    kernels don't apply (non-pallas impl, identity out-proj, CPU dropout)."""
+    kernels don't apply (non-pallas impl, identity out-proj, CPU dropout).
+
+    int8-quantized blocks (serving.Predictor(quant="int8") — ``*_q8``
+    entries from ops/int8_serving.quantize_blocks) take the int8-MXU
+    serving path: LN+rowquant+int8 QKV -> bf16 flash attention -> int8
+    out-projection+residual. Deterministic only."""
+    if "qkv_q8" in block:
+        if not deterministic:
+            raise ValueError("int8-quantized blocks are serving-only "
+                             "(deterministic=True)")
+        from neurovit_tpu.ops import int8_serving
+        from neurovit_tpu.ops.flash_attention import flash_attention
+        b, n, _ = x.shape
+        q, k, v = int8_serving.int8_ln_qkv(block, x, cfg.heads, cfg.dim_head)
+        out = flash_attention(q, k, v, scale=cfg.dim_head ** -0.5,
+                              dropout_rate=0.0, dropout_rng=None,
+                              n_valid=n_valid, layout="bnhd")
+        attn2d = out.reshape(b, n, cfg.inner_dim)
+        return int8_serving.int8_outproj_residual(block["attn_out_q8"], x,
+                                                  attn2d)
     if cfg.impl == "pallas" and cfg.project_out:
         import os
 
@@ -343,7 +362,14 @@ def _mlp_residual(block: dict, x: jax.Array, cfg: ViTConfig, *,
                   deterministic: bool, rng: Optional[jax.Array]) -> jax.Array:
     """x + MLP(x), dispatching to the fused Pallas block kernel on the
     pallas impl (ops/fused_mlp.py — LN, matmuls, GELU, dropout, and the
-    residual add in one kernel, weights VMEM-resident)."""
+    residual add in one kernel, weights VMEM-resident), or to the int8-MXU
+    serving kernel for quantized blocks (ops/int8_serving.py)."""
+    if "fc1_q8" in block:
+        if not deterministic:
+            raise ValueError("int8-quantized blocks are serving-only "
+                             "(deterministic=True)")
+        from neurovit_tpu.ops import int8_serving
+        return int8_serving.int8_mlp_block(block, x)
     if cfg.impl == "pallas":
         from neurovit_tpu.ops import fused_mlp
         if fused_mlp.supports(cfg.dropout, deterministic):
@@ -360,6 +386,9 @@ def _block_apply(block: dict, x: jax.Array, cfg: ViTConfig, *,
                  need_probe: bool = False):
     rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
     if need_probe or probe_shift is not None:
+        if "qkv" not in block:
+            raise ValueError("the Grad-CAM probe needs the bf16 weights — "
+                             "int8-quantized params are serving-only")
         # Grad-CAM path: the attention LN activation must be observable
         # (reference hook target, NeuroEncoder.py:70-82) — XLA composition.
         attn_out, ln_act = _attention(

@@ -29,11 +29,35 @@ class Predictor:
     the virtual 8-device mesh in tests/test_serving.py)."""
 
     def __init__(self, model: NeuroEncoder, variables: Dict[str, Any],
-                 batch_size: int = 32, mesh=None):
+                 batch_size: int = 32, mesh=None,
+                 quant: Optional[str] = None):
         self.model = model
         self.variables = variables
         self.batch_size = batch_size
         self.mesh = mesh
+        if quant in ("none", ""):
+            quant = None
+        if quant not in (None, "int8"):
+            raise ValueError(f"unknown quant mode {quant!r} "
+                             "(supported: 'int8')")
+        self.quant = quant
+        if quant == "int8":
+            # Post-training weight quantization, once at build: the ViT
+            # block GEMMs run on the int8 MXU (1.5-2x the bf16 rate,
+            # BENCH.md "int8 Pallas GEMM probe"); patch embed, attention
+            # softmax path, and the head stay bf16. Serving-only — the
+            # quantized tree has no trainable bf16 GEMM weights.
+            from neurovit_tpu.ops import int8_serving
+            params = dict(variables["params"])
+            ve = params.get("volume_encoder")
+            if not isinstance(ve, dict) or "blocks" not in ve:
+                raise ValueError("quant='int8' supports the ViT volume "
+                                 "encoder only")
+            ve = dict(ve)
+            ve["blocks"] = int8_serving.quantize_blocks(ve["blocks"])
+            params["volume_encoder"] = ve
+            variables = {**variables, "params": params}
+            self.variables = variables
         if mesh is not None:
             from neurovit_tpu.parallel.mesh import DATA_AXIS
             from neurovit_tpu.parallel.sharding import (param_shardings,
@@ -73,7 +97,8 @@ class Predictor:
     def from_checkpoint(cls, config: Dict[str, Any], checkpoint_path: str,
                         batch_size: int = 32,
                         seed: Optional[int] = None,
-                        mesh=None) -> "Predictor":
+                        mesh=None, quant: Optional[str] = None
+                        ) -> "Predictor":
         """Build from a torch-style state-dict pickle (the Trainer's
         per-epoch / last-model saves)."""
         from neurovit_tpu.training import checkpoint as ckpt
@@ -83,7 +108,7 @@ class Predictor:
                            else config.get("TRAINING_SEED", 42)))
         variables = ckpt.load_variables_file(model, variables,
                                              checkpoint_path, strict=False)
-        return cls(model, variables, batch_size, mesh=mesh)
+        return cls(model, variables, batch_size, mesh=mesh, quant=quant)
 
     def __call__(self, volumes: np.ndarray
                  ) -> Tuple[np.ndarray, np.ndarray]:
@@ -188,6 +213,10 @@ def main(argv=None) -> None:
     parser.add_argument("--no-crop", action="store_true",
                         help="skip the ADNI crop [1:, 10:-9, 1:] "
                              "(volumes already at model size)")
+    parser.add_argument("--quant", default=None, choices=["int8"],
+                        help="post-training quantization: int8 runs the "
+                             "ViT block GEMMs on the int8 MXU (~1.5-2x "
+                             "the bf16 GEMM rate, BENCH.md)")
     args = parser.parse_args(argv)
 
     config = load_config(args.config)
@@ -196,7 +225,8 @@ def main(argv=None) -> None:
     ckpt_path = args.checkpoint or os.path.join(
         config.get("GLOBAL_BASE_PATH", "."), config["BEST_MODEL_PATH"])
     predictor = Predictor.from_checkpoint(config, ckpt_path,
-                                          batch_size=args.batch_size)
+                                          batch_size=args.batch_size,
+                                          quant=args.quant)
 
     # Stream compiled-batch-sized chunks through the predictor: memory
     # stays bounded at batch_size volumes regardless of manifest length

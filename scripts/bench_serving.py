@@ -37,6 +37,18 @@ def main():
     variables = model.init(jax.random.key(0))
     params, state = variables["params"], variables.get("state")
 
+    quant = None
+    if "--int8" in sys.argv:
+        # Post-training int8 (serving.Predictor(quant="int8") path): the
+        # block GEMMs run on the int8 MXU via ops/int8_serving kernels.
+        sys.argv.remove("--int8")
+        from neurovit_tpu.ops import int8_serving
+        ve = dict(params["volume_encoder"])
+        ve["blocks"] = int8_serving.quantize_blocks(ve["blocks"])
+        params = {**params, "volume_encoder": ve}
+        quant = "int8"
+        print("mode: int8 block GEMMs")
+
     @jax.jit
     def forward(params, state, volumes):
         logits, _ = model.apply(params, volumes, state=state,

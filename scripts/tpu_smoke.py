@@ -91,6 +91,45 @@ def check_maxpool_kernel():
     assert f_err == 0.0 and b_err < 1e-6, "maxpool kernel mismatch"
 
 
+def check_int8_serving():
+    """int8 serving kernels (LN+rowquant+int8 MXU+dequant) vs the f32
+    composition — the per-row/per-col symmetric scheme should sit at ~1-2%
+    relative error on N(0,1) activations."""
+    from neurovit_tpu import nn
+    from neurovit_tpu.models import vit3d
+    from neurovit_tpu.ops import int8_serving
+
+    cfg = vit3d.ViTConfig(image_size=18, image_patch_size=9, frames=18,
+                          frame_patch_size=9, num_classes=2, dim=256,
+                          depth=1, heads=4, dim_head=64, mlp_dim=512)
+    blk = jax.tree.map(lambda p: p[0],
+                       vit3d.init(jax.random.key(9), cfg)["blocks"])
+    qblk = int8_serving.quantize_blocks(blk)
+    x = jnp.asarray(np.random.RandomState(9).randn(4, 512, 256), jnp.bfloat16)
+
+    @jax.jit
+    def errs(x):
+        q8, k8, v8 = int8_serving.int8_ln_qkv(qblk, x, cfg.heads,
+                                              cfg.dim_head)
+        u = nn.layer_norm(blk["attn_norm"], x.astype(jnp.float32))
+        w = blk["qkv"]["kernel"].reshape(cfg.dim, 3, cfg.heads, cfg.dim_head)
+        rq = jnp.einsum("bnd,dhe->bnhe", u, w[:, 0])
+        y8 = int8_serving.int8_mlp_block(qblk, x)
+        h = nn.gelu(nn.linear(blk["fc1"],
+                              nn.layer_norm(blk["mlp_norm"],
+                                            x.astype(jnp.float32))))
+        ry = x.astype(jnp.float32) + nn.linear(blk["fc2"], h)
+
+        def rel(a, b):
+            return jnp.linalg.norm(a.astype(jnp.float32) - b) \
+                / jnp.linalg.norm(b)
+        return rel(q8, rq), rel(y8, ry)
+
+    e_q, e_m = (float(e) for e in errs(x))
+    print(f"int8 serving rel err: qkv {e_q:.4f}, mlp {e_m:.4f}")
+    assert e_q < 0.05 and e_m < 0.05, "int8 serving kernels off"
+
+
 def check_fused_dropout():
     from neurovit_tpu.ops import dropout as fused
 
@@ -299,6 +338,7 @@ if __name__ == "__main__":
     check_fused_mlp()
     check_fused_attention_path()
     check_maxpool_kernel()
+    check_int8_serving()
     if not args.quick:
         def try_time(impl, batch):
             while batch >= 2:

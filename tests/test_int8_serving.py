@@ -1,0 +1,141 @@
+"""int8 serving path: quantization helpers, kernels vs the f32 composition,
+and the quantized Predictor's agreement with the bf16/f32 one.
+
+CPU runs the kernels in interpret mode (conftest forces the CPU backend);
+on-chip validation and the throughput A/B live in scripts/bench_serving.py
+and scripts/tpu_smoke.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neurovit_tpu import nn
+from neurovit_tpu.models import NeuroEncoder, vit3d
+from neurovit_tpu.ops import int8_serving
+
+DIM, HEADS, DIM_HEAD, HID = 64, 4, 16, 128
+INNER = HEADS * DIM_HEAD
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+
+
+@pytest.fixture(scope="module")
+def block():
+    cfg = vit3d.ViTConfig(image_size=20, image_patch_size=5, frames=20,
+                          frame_patch_size=5, num_classes=2, dim=DIM,
+                          depth=1, heads=HEADS, dim_head=DIM_HEAD,
+                          mlp_dim=HID)
+    blocks = vit3d.init(jax.random.key(0), cfg)["blocks"]
+    return jax.tree.map(lambda p: p[0], blocks), cfg
+
+
+def test_quantize_weight_roundtrip():
+    w = jax.random.normal(jax.random.key(1), (32, 48)) * 0.3
+    w8, s = int8_serving.quantize_weight(w)
+    assert w8.dtype == jnp.int8 and s.shape == (1, 48)
+    # symmetric per-column: dequant error bounded by half a step per entry
+    err = np.abs(np.asarray(w8, np.float32) * np.asarray(s) - np.asarray(w))
+    assert (err <= np.asarray(s) / 2 + 1e-7).all()
+    # zero column stays exactly zero with a safe scale
+    wz = w.at[:, 0].set(0.0)
+    w8z, sz = int8_serving.quantize_weight(wz)
+    assert np.asarray(w8z)[:, 0].any() == False  # noqa: E712
+    assert np.asarray(sz)[0, 0] == 1.0
+
+
+def test_int8_ln_qkv_matches_f32(block):
+    blk, cfg = block
+    qblk = int8_serving.quantize_blocks(blk)
+    x = jax.random.normal(jax.random.key(2), (2, 30, DIM))
+    q8, k8, v8 = int8_serving.int8_ln_qkv(qblk, x, HEADS, DIM_HEAD)
+
+    u = nn.layer_norm(blk["attn_norm"], x)
+    w = blk["qkv"]["kernel"].reshape(DIM, 3, HEADS, DIM_HEAD)
+    refs = [jnp.einsum("bnd,dhe->bnhe", u, w[:, i]) for i in range(3)]
+    for got, ref in zip((q8, k8, v8), refs):
+        assert got.shape == ref.shape
+        assert _rel(got, ref) < 0.05
+
+
+def test_int8_outproj_residual_matches_f32(block):
+    blk, cfg = block
+    qblk = int8_serving.quantize_blocks(blk)
+    x = jax.random.normal(jax.random.key(3), (2, 30, DIM))
+    a = jax.random.normal(jax.random.key(4), (2, 30, INNER))
+    y8 = int8_serving.int8_outproj_residual(qblk["attn_out_q8"], x, a)
+    ref = x + (a @ blk["attn_out"]["kernel"] + blk["attn_out"]["bias"])
+    assert _rel(y8, ref) < 0.05
+
+
+def test_int8_mlp_block_matches_f32(block):
+    blk, cfg = block
+    qblk = int8_serving.quantize_blocks(blk)
+    x = jax.random.normal(jax.random.key(5), (2, 30, DIM))
+    y8 = int8_serving.int8_mlp_block(qblk, x)
+    h = nn.layer_norm(blk["mlp_norm"], x)
+    h = nn.gelu(nn.linear(blk["fc1"], h))
+    ref = x + nn.linear(blk["fc2"], h)
+    assert _rel(y8, ref) < 0.05
+
+
+def test_quantized_blocks_refuse_training_and_probe(block):
+    blk, cfg = block
+    qblk = int8_serving.quantize_blocks(blk)
+    x = jax.random.normal(jax.random.key(6), (1, 30, DIM))
+    with pytest.raises(ValueError, match="serving-only"):
+        vit3d._attention_residual(qblk, x, cfg, deterministic=False,
+                                  rng=jax.random.key(0))
+    with pytest.raises(ValueError, match="serving-only"):
+        vit3d._mlp_residual(qblk, x, cfg, deterministic=False,
+                            rng=jax.random.key(0))
+    with pytest.raises(ValueError, match="probe"):
+        vit3d._block_apply(qblk, x, cfg, deterministic=True, rng=None,
+                           probe_shift=jnp.zeros_like(x))
+
+
+def test_int8_predictor_agrees_with_reference(tiny_config, tmp_path):
+    from neurovit_tpu.serving import Predictor
+    from neurovit_tpu.training import state_dict as sd
+
+    model = NeuroEncoder(tiny_config)
+    variables = model.init(jax.random.key(7))
+    path = str(tmp_path / "model.pkl")
+    sd.save(path, sd.to_state_dict(model, variables["params"]))
+
+    p_ref = Predictor.from_checkpoint(tiny_config, path, batch_size=4)
+    p_int8 = Predictor.from_checkpoint(tiny_config, path, batch_size=4,
+                                       quant="int8")
+    # the quantized tree actually replaced the GEMM weights
+    qblocks = p_int8.variables["params"]["volume_encoder"]["blocks"]
+    assert "qkv_q8" in qblocks and "qkv" not in qblocks
+    assert qblocks["qkv_q8"]["w"].dtype == jnp.int8
+
+    vols = np.random.RandomState(2).randn(6, 20, 20, 20).astype(np.float32)
+    labels_r, probs_r = p_ref(vols)
+    labels_8, probs_8 = p_int8(vols)
+    np.testing.assert_allclose(probs_8, probs_r, atol=0.05)
+
+    with pytest.raises(ValueError, match="quant"):
+        Predictor.from_checkpoint(tiny_config, path, quant="int4")
+
+
+def test_int8_rejects_resnet_encoder(tiny_config, tmp_path):
+    from neurovit_tpu.serving import Predictor
+    from neurovit_tpu.training import state_dict as sd
+
+    config = dict(tiny_config)
+    config.update({"MODEL_VOLUME_ENCODER": "resnet",
+                   "MODEL_RESNET_DEPTH": 10})
+    model = NeuroEncoder(config)
+    variables = model.init(jax.random.key(8))
+    path = str(tmp_path / "resnet.pkl")
+    sd.save(path, sd.to_state_dict(model, variables["params"],
+                                   model_state=variables["state"]))
+    with pytest.raises(ValueError, match="ViT"):
+        Predictor.from_checkpoint(config, path, quant="int8")
