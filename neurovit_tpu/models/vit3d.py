@@ -386,7 +386,8 @@ def _block_apply(block: dict, x: jax.Array, cfg: ViTConfig, *,
                  need_probe: bool = False):
     rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
     if need_probe or probe_shift is not None:
-        if "qkv" not in block:
+        from neurovit_tpu.ops.int8_serving import is_quantized
+        if is_quantized(block):
             raise ValueError("the Grad-CAM probe needs the bf16 weights — "
                              "int8-quantized params are serving-only")
         # Grad-CAM path: the attention LN activation must be observable

@@ -97,6 +97,11 @@ def quantize_blocks(blocks: dict) -> dict:
 
 
 def is_quantized(block: dict) -> bool:
+    """True if ``block`` (or a stacked block tree) carries int8 serving
+    entries. Single source of truth for the quantized-structure check —
+    ``models/vit3d.py`` gates the Grad-CAM probe path on it; the per-op
+    forward dispatch there keys on the specific ``qkv_q8``/``fc1_q8``
+    entries because the attention and MLP paths switch independently."""
     return "qkv_q8" in block or "fc1_q8" in block
 
 
@@ -115,7 +120,11 @@ def _ln(xf):
 def _rowquant(u):
     """Per-row symmetric dynamic quant: f32 [bm, k] -> (int8, scale [bm, 1]).
 
-    All-zero rows (M/lane padding) get scale 1 -> all-zero int8 rows."""
+    M-padding rows are not special here: by the time they reach this they
+    have been through LN+beta (so they quantize beta, not zeros). That is
+    harmless garbage — the wrappers' ``[:m]`` unpad slices it off; the
+    ``amax > 0`` guard only protects against a truly all-zero row dividing
+    by zero."""
     amax = jnp.max(jnp.abs(u), axis=1, keepdims=True)
     scale = jnp.where(amax > 0, amax / 127.0, 1.0)
     q = jnp.clip(jnp.round(u / scale), -127, 127).astype(jnp.int8)

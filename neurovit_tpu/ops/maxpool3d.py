@@ -124,7 +124,14 @@ def max_pool3d_argmax(x, *, interpret=None):
     """k=3/s=2/p=1 max pool of NDHWC ``x`` -> (pooled, int32 argmax codes).
 
     The code at output position o is 9*kd + 3*kh + kw for the first
-    window offset attaining the max (depth-major at fixed (h, w))."""
+    window offset attaining the max (depth-major at fixed (h, w)).
+
+    Float inputs only: the kernel compares in f32 (Mosaic rejects bf16
+    vector compares), so integer inputs would round through f32 and the
+    -inf padding sentinel has no integer analog here."""
+    assert jnp.issubdtype(x.dtype, jnp.floating), (
+        f"max_pool3d_argmax is float-only (got {x.dtype}): values are "
+        "compared and stored through f32 in-kernel")
     b, d, h, w, c = x.shape
     od, oh, ow = _out_dim(d), _out_dim(h), _out_dim(w)
     if interpret is None:

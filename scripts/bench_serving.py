@@ -77,7 +77,7 @@ def main():
             print(f"batch {batch:4d}: FAILED ({type(e).__name__})")
             continue
         vps = batch * ITERS / dt
-        print(json.dumps({"batch": batch,
+        print(json.dumps({"batch": batch, "quant": quant or "bf16",
                           "ms_per_batch": round(dt / ITERS * 1e3, 1),
                           "volumes_per_sec": round(vps, 1)}))
 
