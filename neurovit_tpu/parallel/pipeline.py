@@ -98,9 +98,7 @@ def pipeline_blocks(block_fn, stacked_blocks: Any, stacked_rngs: jax.Array,
                 [(i, (i + 1) % n_stages) for i in range(n_stages)])
             return (nxt, out), None
 
-        varying = lambda v: jax.lax.pcast(v, (PIPE_AXIS,), to="varying")
-        carry0 = (varying(jnp.zeros_like(xm[0])),
-                  varying(jnp.zeros_like(xm)))
+        carry0 = (jnp.zeros_like(xm[0]), jnp.zeros_like(xm))
         (_, out), _ = jax.lax.scan(tick, carry0, jnp.arange(n_ticks))
         # Broadcast the last stage's banked outputs pipe-wide (masked psum);
         # the transpose routes output cotangents back to the last stage.
@@ -109,10 +107,19 @@ def pipeline_blocks(block_fn, stacked_blocks: Any, stacked_rngs: jax.Array,
             PIPE_AXIS)
 
     xm = x.reshape((n_micro, batch // n_micro) + x.shape[1:])
+    # check_vma=False: block_fn may contain pallas_call kernels (the fused
+    # bf16 serving path, the int8 serving kernels), whose out_shapes carry
+    # no varying-manual-axes annotation — and in interpret mode (CPU tests)
+    # the emulated kernel mixes non-varying constants with varying inputs,
+    # which the vma checker rejects outright. The check is a static lint,
+    # not semantics; correctness of this region is pinned by the
+    # pipeline-vs-single-device numerics tests (tests/test_pipeline.py,
+    # test_int8_serving.py quant x pp).
     out = jax.shard_map(
         inner,
         in_specs=(P(PIPE_AXIS), P(PIPE_AXIS), P()),
         out_specs=P(),
         axis_names={PIPE_AXIS},
+        check_vma=False,
     )(stacked_blocks, stacked_rngs, xm)
     return out.reshape(x.shape)

@@ -73,6 +73,20 @@ _TP_RULES = {
     ("fc1", "kernel"): "col",
     ("fc1", "bias"): "col_bias",
     ("fc2", "kernel"): "row",
+    # int8 serving tree (ops/int8_serving.quantize_blocks renames the GEMM
+    # weights to *_q8 {"w", "scale", "bias"?}): each q8 weight shards like
+    # its bf16 counterpart; the per-output-column scales (shape [.., 1, N])
+    # and the col-parallel fc1 bias shard with the output dim, while
+    # row-parallel entries keep their scale/bias replicated (their output
+    # dim stays whole). Without these, a TP-meshed int8 Predictor silently
+    # replicated every quantized weight (round-3 review finding).
+    ("qkv_q8", "w"): "col",
+    ("qkv_q8", "scale"): "col_bias",
+    ("attn_out_q8", "w"): "row",
+    ("fc1_q8", "w"): "col",
+    ("fc1_q8", "scale"): "col_bias",
+    ("fc1_q8", "bias"): "col_bias",
+    ("fc2_q8", "w"): "row",
 }
 
 
