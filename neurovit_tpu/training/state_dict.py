@@ -312,11 +312,18 @@ def save(path: str, state_dict: Dict[str, np.ndarray]) -> None:
 
 def load(path: str) -> Dict[str, np.ndarray]:
     """Load a flat numpy state dict — torch zip format (what :func:`save`
-    writes and the reference's ``torch.save`` produces) via the torch-free
-    reader, or the legacy numpy pickle older runs saved."""
+    writes and the reference's ``torch.save`` produces) or the pre-1.6
+    legacy torch pickle-stream format, both via the torch-free reader, or
+    the legacy numpy pickle older runs of this framework saved."""
     import zipfile
+
+    from neurovit_tpu.training import torch_pth
     if zipfile.is_zipfile(path):
-        from neurovit_tpu.training.torch_pth import load_torch_state_dict
-        return load_torch_state_dict(path)
+        return torch_pth.load_torch_state_dict(path)
     with open(path, "rb") as f:
-        return pickle.load(f)
+        obj = pickle.load(f)
+    if obj == torch_pth._LEGACY_MAGIC:
+        # Pre-1.6 torch stream: the first pickle is the magic number, the
+        # state dict follows with persistent-id storages.
+        return torch_pth.load_torch_state_dict(path)
+    return obj

@@ -8,8 +8,11 @@ installed to exchange weights in either direction:
 * ``load_torch_state_dict`` parses the zip/pickle format directly into
   {key: np.ndarray} with a restricted unpickler (only the torch-tensor
   reconstruction opcodes are honored; everything else is rejected),
-  covering torch >= 1.6 zip-format files, the format the reference
-  produces.
+  covering torch >= 1.6 zip-format files (the format the reference
+  produces) AND the legacy pre-1.6 pickle-stream format
+  (``torch.save(..., _use_new_zipfile_serialization=False)`` — magic /
+  protocol / sys-info pickles, the object pickle, then length-prefixed
+  raw storages), which real old ADNI checkpoints in the wild can carry.
 * ``save_torch_state_dict`` emits the same format by hand-assembling the
   protocol-2 pickle opcodes (``OrderedDict`` + ``_rebuild_tensor_v2`` +
   storage persistent-ids — exactly the vocabulary ``torch.load`` with the
@@ -44,6 +47,12 @@ _STORAGE_DTYPES = {
     "ByteStorage": np.uint8,
     "BoolStorage": np.bool_,
 }
+
+
+def _element_size(dtype_name: str) -> int:
+    if dtype_name == "BFloat16Storage":
+        return 2
+    return np.dtype(_STORAGE_DTYPES[dtype_name]).itemsize
 
 
 class _StorageRef:
@@ -85,15 +94,31 @@ def _rebuild_tensor_v2(storage, storage_offset, size, stride,
     return _LazyTensor(storage, storage_offset, size, stride)
 
 
+def _rebuild_tensor(storage, storage_offset, size, stride):
+    # Ancient torch (< 0.4) reduced tensors through _rebuild_tensor; legacy
+    # pickle-stream files can still carry it.
+    return _LazyTensor(storage, storage_offset, size, stride)
+
+
 class _RestrictedUnpickler(pickle.Unpickler):
-    """Allows only the constructs torch state_dict pickles contain."""
+    """Allows only the constructs torch state_dict pickles contain.
+
+    Tracks every storage persistent-id it resolves in ``self.storages``
+    (root key -> _StorageRef) — the legacy pickle-stream loader needs the
+    per-key dtypes to size the length-prefixed raw storage reads that
+    follow the object pickle."""
 
     _ALLOWED = {
         # real OrderedDict: state_dicts carry a `_metadata` attribute that
         # the pickle BUILD op sets on the instance (plain dict can't).
         ("collections", "OrderedDict"): __import__("collections").OrderedDict,
         ("torch._utils", "_rebuild_tensor_v2"): _rebuild_tensor_v2,
+        ("torch._utils", "_rebuild_tensor"): _rebuild_tensor,
     }
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.storages: Dict[str, _StorageRef] = {}
 
     def find_class(self, module: str, name: str):
         if (module, name) in self._ALLOWED:
@@ -104,15 +129,30 @@ class _RestrictedUnpickler(pickle.Unpickler):
             f"{module}.{name} is not allowed in checkpoint files")
 
     def persistent_load(self, pid):
-        # ('storage', <storage type tag>, key, location, numel)
+        # zip format:    ('storage', <type tag>, key, location, numel)
+        # legacy stream: ('storage', <type tag>, root_key, location, numel,
+        #                 view_metadata)
         if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
             raise pickle.UnpicklingError(f"unsupported persistent id: {pid!r}")
-        _, storage_type, key, _location, _numel = pid
+        if len(pid) == 5:
+            _, storage_type, key, _location, _numel = pid
+        elif len(pid) == 6:
+            _, storage_type, key, _location, _numel, view_metadata = pid
+            if view_metadata:
+                # Views (tensors aliasing slices of a shared root storage)
+                # don't occur in state_dicts the reference tooling writes;
+                # refuse rather than silently mis-slice.
+                raise pickle.UnpicklingError(
+                    "legacy checkpoint uses storage views (shared-memory "
+                    "tensors) — not supported")
+        else:
+            raise pickle.UnpicklingError(f"unsupported persistent id: {pid!r}")
         name = storage_type if isinstance(storage_type, str) else \
             getattr(storage_type, "__name__", str(storage_type))
         if name not in _STORAGE_DTYPES:
             raise pickle.UnpicklingError(f"unsupported storage type {name}")
-        return _StorageRef(name, str(key))
+        ref = self.storages.setdefault(str(key), _StorageRef(name, str(key)))
+        return ref
 
 
 # --------------------------------------------------------------------------
@@ -213,24 +253,66 @@ def save_torch_state_dict(path: str, state_dict: Dict[str, Any]) -> None:
         zf.writestr("archive/byteorder", "little")
 
 
+_LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
+_LEGACY_PROTOCOL = 1001
+
+
+def _resolve_tree(value: Any, read_storage) -> Any:
+    if isinstance(value, _LazyTensor):
+        return value.materialize(read_storage(value.storage.key))
+    if isinstance(value, dict):
+        return {k: _resolve_tree(v, read_storage) for k, v in value.items()}
+    return value
+
+
+def _load_legacy_state_dict(f) -> Dict[str, np.ndarray]:
+    """Pre-1.6 ``torch.save`` stream: MAGIC, PROTOCOL and sys-info pickles,
+    the object pickle (tensors as 6-tuple storage persistent ids), a pickle
+    of the serialized storage keys, then for each key an int64-LE element
+    count followed by the raw bytes (``_legacy_save`` layout)."""
+    import struct
+
+    if _RestrictedUnpickler(f).load() != _LEGACY_MAGIC:
+        raise ValueError("not a torch checkpoint (bad legacy magic number)")
+    protocol = _RestrictedUnpickler(f).load()
+    if protocol != _LEGACY_PROTOCOL:
+        raise ValueError(f"unsupported legacy torch protocol {protocol}")
+    _sys_info = _RestrictedUnpickler(f).load()
+    unpickler = _RestrictedUnpickler(f)
+    obj = unpickler.load()
+    storage_keys = _RestrictedUnpickler(f).load()
+
+    raws: Dict[str, bytes] = {}
+    for key in storage_keys:
+        key = str(key)
+        (numel,) = struct.unpack("<q", f.read(8))
+        ref = unpickler.storages.get(key)
+        if ref is None:
+            raise ValueError(f"legacy checkpoint storage {key!r} is never "
+                             "referenced by the object pickle")
+        raws[key] = f.read(numel * _element_size(ref.dtype_name))
+
+    out = _resolve_tree(obj, raws.__getitem__)
+    if not isinstance(out, dict):
+        raise ValueError(f"checkpoint does not contain a state_dict "
+                         f"(got {type(out).__name__})")
+    return out
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Read a torch.save'd state_dict (zip format, torch >= 1.6) into
-    {key: np.ndarray} without importing torch."""
+    """Read a torch.save'd state_dict into {key: np.ndarray} without
+    importing torch. Handles both the zip format (torch >= 1.6) and the
+    legacy pickle-stream format (pre-1.6 /
+    ``_use_new_zipfile_serialization=False``)."""
+    if not zipfile.is_zipfile(path):
+        with open(path, "rb") as f:
+            return _load_legacy_state_dict(f)
     with zipfile.ZipFile(path) as zf:
         names = zf.namelist()
         pkl_name = next(n for n in names if n.endswith("/data.pkl"))
         prefix = pkl_name[: -len("data.pkl")]
         obj = _RestrictedUnpickler(io.BytesIO(zf.read(pkl_name))).load()
-
-        def resolve(value: Any) -> Any:
-            if isinstance(value, _LazyTensor):
-                raw = zf.read(f"{prefix}data/{value.storage.key}")
-                return value.materialize(raw)
-            if isinstance(value, dict):
-                return {k: resolve(v) for k, v in value.items()}
-            return value
-
-        out = resolve(obj)
+        out = _resolve_tree(obj, lambda key: zf.read(f"{prefix}data/{key}"))
     if not isinstance(out, dict):
         raise ValueError(f"{path} does not contain a state_dict "
                          f"(got {type(out).__name__})")

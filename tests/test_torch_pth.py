@@ -39,6 +39,57 @@ def test_dtypes_and_noncontiguous(tmp_path):
                                    err_msg=k)
 
 
+def test_reads_legacy_pre16_format(tmp_path):
+    """Pre-1.6 pickle-stream checkpoints (the format old ADNI .pth files in
+    the wild can carry) read back tensor-exact, torch.save as the oracle."""
+    model = torch.nn.Sequential(
+        torch.nn.Linear(8, 16), torch.nn.LayerNorm(16), torch.nn.Linear(16, 2))
+    path = str(tmp_path / "legacy.pth")
+    torch.save(model.state_dict(), path, _use_new_zipfile_serialization=False)
+    import zipfile
+    assert not zipfile.is_zipfile(path)            # actually the old format
+
+    ours = load_torch_state_dict(path)
+    theirs = model.state_dict()
+    assert set(ours) == set(theirs)
+    for k in theirs:
+        np.testing.assert_allclose(ours[k], theirs[k].numpy(), atol=0)
+
+    # the state_dict.load front door routes the legacy stream too
+    via_sd = sd.load(path)
+    assert set(via_sd) == set(theirs)
+    np.testing.assert_allclose(via_sd["0.weight"],
+                               theirs["0.weight"].numpy(), atol=0)
+
+
+def test_legacy_dtypes_and_noncontiguous(tmp_path):
+    t = torch.arange(24, dtype=torch.float32).reshape(4, 6)
+    state = {
+        "f32": t,
+        "transposed": t.t(),                       # non-contiguous strides
+        "f64": t.double(),
+        "i64": torch.arange(5),
+        "bf16": t.to(torch.bfloat16),
+        "u8": torch.arange(7, dtype=torch.uint8),
+    }
+    path = str(tmp_path / "legacy_mix.pth")
+    torch.save(state, path, _use_new_zipfile_serialization=False)
+    ours = load_torch_state_dict(path)
+    for k, v in state.items():
+        np.testing.assert_allclose(ours[k], v.float().numpy(), atol=0,
+                                   err_msg=k)
+
+
+def test_legacy_rejects_arbitrary_objects(tmp_path):
+    import pathlib
+    import pickle
+    path = str(tmp_path / "evil_legacy.pth")
+    torch.save({"c": pathlib.PurePosixPath("x")}, path,
+               _use_new_zipfile_serialization=False)
+    with pytest.raises(pickle.UnpicklingError):
+        load_torch_state_dict(path)
+
+
 def test_rejects_arbitrary_objects(tmp_path):
     path = str(tmp_path / "evil.pth")
     torch.save({"w": torch.ones(2), "obj": {"nested": [1, 2]}}, path)
