@@ -81,6 +81,18 @@ EXTRA_DEFAULTS: Dict[str, Any] = {
     # on the flagship model); "threefry2x32" for bit-stable portability.
     "TRAINING_RNG_IMPL": "rbg",
     "TRAINING_DONATE": True,       # donate train-state buffers to the step
+    # 4D: encode each sequence ONCE through the deterministic frozen
+    # encoder and train the temporal head on cached [T, C] features
+    # (training/feature_cache.py — skips the ~98% encoder share of every
+    # epoch after the first). Requires a static (non-augmented) 4D dataset.
+    "TRAINING_4D_FEATURE_CACHE": False,
+    # 4D: 'int8' runs the frozen encoder's GEMMs on the int8 MXU during
+    # training (ops/int8_serving); convergence-gated, ~0.1-1% feature
+    # perturbation (tests/test_trainer_4d_quant.py).
+    "TRAINING_4D_ENCODER_QUANT": "none",
+    # Temporal-layer dropout: the reference keeps the torch default 0.1
+    # (NeuroEncoder.py:211-212) independent of TRAINING_DROPOUT.
+    "MODEL_TEMPORAL_DROPOUT": 0.1,
     # Overlap the per-epoch Orbax disk write with the next epoch (the
     # device->host snapshot is still synchronous, so donated buffers stay
     # safe). The run exit / --resume paths wait for in-flight writes.

@@ -88,8 +88,13 @@ class NeuroEncoder:
             n_input_channels=1,
             n_classes=self.num_classes,
         )
+        # dropout: the reference leaves the torch default 0.1 on the
+        # temporal layer regardless of TRAINING_DROPOUT (NeuroEncoder.py:
+        # 211-212); MODEL_TEMPORAL_DROPOUT is an additive override (e.g. 0
+        # for the exact-regime torch parity runs, tests/test_train_parity_4d).
         self.temporal_cfg = temporal.TemporalConfig(
-            d_model=self.num_classes, nhead=2, num_layers=1, impl=impl)
+            d_model=self.num_classes, nhead=2, num_layers=1, impl=impl,
+            dropout=float(config.get("MODEL_TEMPORAL_DROPOUT", 0.1)))
         precision = config.get("TRAINING_PRECISION", "bf16")
         self.compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
@@ -152,6 +157,23 @@ class NeuroEncoder:
             return logits, {"state": new_state, "probe": probe}
 
         # ---- 4D: fold T into the batch dim (NeuroEncoder.py:53-66) --------
+        enc, new_state, probe = self.encode_sequence(
+            params, state, x, probe_shift=probe_shift)
+        logits = self.apply_features(params, enc, deterministic=deterministic,
+                                     rng=rng)
+        return logits, {"state": new_state, "probe": probe}
+
+    def encode_sequence(self, params, state, x, *, probe_shift=None):
+        """4D front half: [B, H, W, D, T] -> (enc [B, T, num_classes] f32,
+        new_state, probe). The frozen, eval()'d volume encoder applied to
+        every timepoint (NeuroEncoder.py:34-36,53-60).
+
+        Deterministic in every input (frozen weights, no dropout, no BN
+        updates), so for a static 4D dataset the per-sequence encodings are
+        CONSTANT across epochs — the contract the trainer's
+        TRAINING_4D_FEATURE_CACHE relies on to encode each sequence once
+        and train the temporal head on cached features.
+        """
         b, h, w, d, t = x.shape
         volumes = x.transpose(0, 4, 1, 2, 3).reshape(b * t, h, w, d)
         # Multi-chip: the interesting parallel dim in 4D mode is the folded
@@ -163,18 +185,33 @@ class NeuroEncoder:
                 and volumes.shape[0] % abstract_mesh.shape[DATA_AXIS] == 0):
             volumes = jax.lax.with_sharding_constraint(
                 volumes, jax.sharding.PartitionSpec(DATA_AXIS))
-        # Frozen + eval()'d volume encoder (NeuroEncoder.py:34-36):
+        # Frozen + eval()'d volume encoder (NeuroEncoder.py:34-36).
+        # TRAINING_4D_ENCODER_QUANT: the trainer places an int8-quantized
+        # copy of the encoder under model_state["q8_volume_encoder"]
+        # (state is a non-differentiated step input, so the int8 leaves
+        # never meet the optimizer); when present it replaces the bf16
+        # encoder for this deterministic forward — the params tree keeps
+        # the original weights for checkpoints/explainability.
+        q8 = (state or {}).get("q8_volume_encoder")
         frozen = jax.lax.stop_gradient(
-            {"volume_encoder": params["volume_encoder"]})
+            {"volume_encoder": q8 if q8 is not None
+             else params["volume_encoder"]})
         enc, new_state, probe = self.encode_volume(
             frozen, state, volumes, deterministic=True, rng=None,
             train=False, probe_shift=probe_shift)
-        enc = enc.astype(self.compute_dtype).reshape(b, t, self.num_classes)
+        return enc.reshape(b, t, self.num_classes), new_state, probe
+
+    def apply_features(self, params, enc, *, deterministic=True, rng=None):
+        """4D back half: per-volume encodings [B, T, num_classes] ->
+        logits [B, num_classes] (TemporalTransformer -> mean over T ->
+        ProjectionHead, NeuroEncoder.py:61-66). ``enc`` is the f32 output
+        of :meth:`encode_sequence` — fresh or from the trainer's feature
+        cache; both paths run the identical tail computation."""
+        enc = enc.astype(self.compute_dtype)
         enc = temporal.apply(params["temporal"], enc, self.temporal_cfg,
                              deterministic=deterministic, rng=rng)
         pooled = jnp.mean(enc, axis=1)               # mean over T
-        logits = nn.linear(params["projection"], pooled).astype(jnp.float32)
-        return logits, {"state": new_state, "probe": probe}
+        return nn.linear(params["projection"], pooled).astype(jnp.float32)
 
     # -- training support ---------------------------------------------------
 

@@ -86,6 +86,7 @@ class Trainer:
         # rows. Single host: the full index space.
         shard = ((jax.process_index(), jax.process_count())
                  if jax.process_count() > 1 else None)
+        self._seed, self._shard = seed, shard
         self.dataloader = DataLoader(
             dataset_train, self.batch_size, shuffle=True,
             num_workers=self.num_workers, seed=seed, shard=shard)
@@ -97,6 +98,32 @@ class Trainer:
         if variables is None:
             variables = model.init(jax.random.key(seed))
         params, model_state = variables["params"], variables["state"]
+        # TRAINING_4D_ENCODER_QUANT: int8 — run the frozen 4D volume
+        # encoder's GEMMs on the int8 MXU (ops/int8_serving, the measured
+        # +28-29% serving path) during training. The quantized copy lives
+        # in model_state (non-differentiated step input): params keep the
+        # bf16 weights, so optimizer/checkpoint structure is unchanged and
+        # resume/re-quantize is automatic. Opt-in: it perturbs the features
+        # the temporal head trains on (~1% GEMM rel err); the convergence
+        # gate lives in tests/test_trainer_4d_quant.py.
+        quant4d = config.get("TRAINING_4D_ENCODER_QUANT")
+        if quant4d not in (None, "", "none", "int8"):
+            raise ValueError(f"unknown TRAINING_4D_ENCODER_QUANT {quant4d!r} "
+                             "(supported: 'int8')")
+        self._quant4d = bool(quant4d == "int8" and model.is_4d)
+        if self._quant4d:
+            if model.encoder_kind != "vit":
+                raise ValueError("TRAINING_4D_ENCODER_QUANT supports the "
+                                 "ViT volume encoder only")
+            from neurovit_tpu.ops import int8_serving
+            q8 = dict(params["volume_encoder"])
+            q8["blocks"] = int8_serving.quantize_blocks(q8["blocks"])
+            # Fresh buffers: pass-through leaves (patch embed, norms, head)
+            # must not alias params — the donated train step would otherwise
+            # donate the same buffer via both ts["params"] and
+            # ts["model_state"].
+            q8 = jax.tree.map(jnp.array, q8)
+            model_state = {**model_state, "q8_volume_encoder": q8}
         self.accum = max(1, int(config.get("TRAINING_ACCUMULATION_STEP", 1)))
         mask = model.trainable_mask(params)
         from neurovit_tpu.training.optim import build_optimizer
@@ -136,6 +163,18 @@ class Trainer:
                                        donate_argnums=(0,),
                                        static_argnums=(2,))
         self._eval_step_jit = jax.jit(self._eval_step_fn, static_argnums=(3,))
+
+        # 4D frozen-feature cache (training/feature_cache.py): encode each
+        # sequence once, then train/validate the temporal head on cached
+        # [T, C] features — the encoder share (~98% of the 4D step) is paid
+        # a single time instead of every epoch.
+        self._use_feature_cache = bool(
+            config.get("TRAINING_4D_FEATURE_CACHE", False)) and model.is_4d
+        self._feature_cache = None
+        if self._use_feature_cache:
+            self._feat_train_step_jit = jax.jit(self._feat_train_step_fn,
+                                                donate_argnums=(0,))
+            self._feat_eval_step_jit = jax.jit(self._feat_eval_step_fn)
 
         self.log_interval = max(1, len(self.dataloader) // 10)  # Trainer.py:34
         total, trainable = model.param_count(params)
@@ -208,6 +247,43 @@ class Trainer:
         preds = jnp.argmax(logits, axis=-1)
         return {"loss": loss, "correct": correct, "count": count,
                 "preds": preds}
+
+    # ---- 4D feature-cache steps (temporal head only) ---------------------
+    # Same RNG split discipline as the full step so cached-vs-recompute
+    # training consumes identical dropout streams; grads over the full
+    # params tree are zeros for the (unused) frozen encoder, exactly as
+    # stop_gradient makes them on the volume path.
+
+    def _feat_train_step_fn(self, ts, batch):
+        rng, step_rng = jax.random.split(ts["rng"])
+
+        def loss_fn(params):
+            logits = self.model.apply_features(
+                params, batch["feat"], deterministic=False, rng=step_rng)
+            loss, correct, count = _masked_mean_ce(
+                logits, batch["label"], batch["valid"])
+            return loss, (correct, count)
+
+        (loss, (correct, count)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(ts["params"]))
+        updates, new_opt_state = self.tx.update(
+            grads, ts["opt_state"], ts["params"])
+        new_ts = {
+            "params": optax.apply_updates(ts["params"], updates),
+            "model_state": ts["model_state"],
+            "opt_state": new_opt_state,
+            "rng": rng,
+            "epoch": ts["epoch"],
+        }
+        return new_ts, {"loss": loss, "correct": correct, "count": count}
+
+    def _feat_eval_step_fn(self, params, batch):
+        logits = self.model.apply_features(params, batch["feat"],
+                                           deterministic=True)
+        loss, correct, count = _masked_mean_ce(
+            logits, batch["label"], batch["valid"])
+        return {"loss": loss, "correct": correct, "count": count,
+                "preds": jnp.argmax(logits, axis=-1)}
 
     # ------------------------------------------------------------------
     # loops
@@ -344,14 +420,15 @@ class Trainer:
             ckpt.wait_for_async_saves()
             restore_handlers()
 
-    def _device_prefetch(self, loader):
+    def _device_prefetch(self, loader, features: bool = False):
         """Yield device-resident batches one transfer ahead of consumption,
         overlapping host->HBM transfer with the device step."""
         it = iter(loader)
         pending = None
+        prep = self._device_batch_features if features else self._device_batch
         for batch in it:
             ready = pending
-            host, zyx = self._device_batch(batch)
+            host, zyx = prep(batch)
             pending = (shard_batch(host, self.mesh,
                                    replicate=self.model.is_4d), zyx)
             if ready is not None:
@@ -359,8 +436,36 @@ class Trainer:
         if pending is not None:
             yield pending
 
+    def _ensure_feature_cache(self) -> None:
+        """Build the 4D frozen-feature cache + its loaders on first use
+        (TRAINING_4D_FEATURE_CACHE). On a multi-process mesh every host
+        encodes the full dataset (duplicate but tiny: the cache is ~1 KB
+        per sample) and the cached loaders shard identically to the volume
+        loaders."""
+        if not self._use_feature_cache or self._feature_cache is not None:
+            return
+        from neurovit_tpu.training import feature_cache
+        params = self.train_state["params"]
+        state = self.train_state["model_state"]
+        views = {
+            "train": feature_cache.precompute(
+                self.model, params, state, self.data, self.mesh),
+            "val": feature_cache.precompute(
+                self.model, params, state, self.val_data, self.mesh),
+        }
+        self._feature_cache = views
+        self._feat_dataloader = DataLoader(
+            views["train"], self.batch_size, shuffle=True,
+            num_workers=self.num_workers, seed=self._seed, shard=self._shard)
+        self._feat_val_dataloader = DataLoader(
+            views["val"], self.batch_size, shuffle=False,
+            num_workers=self.num_workers, seed=self._seed, shard=self._shard)
+
     def train(self, epoch: int) -> None:
-        self.dataloader.set_epoch(epoch)
+        self._ensure_feature_cache()
+        cached = self._feature_cache is not None
+        loader = self._feat_dataloader if cached else self.dataloader
+        loader.set_epoch(epoch)
         running: list = []
         start_time = time.time()
         # Optional profiler capture of a step window in the first epoch
@@ -368,14 +473,19 @@ class Trainer:
         profile_steps = (self.config.get("TRAINING_PROFILE_STEPS", 0)
                          if epoch == 0 else 0)
         for i, (batch, zyx) in enumerate(
-                self._device_prefetch(self.dataloader)):
+                self._device_prefetch(loader, features=cached)):
             if self._preempt_requested:
                 break                    # run() saves the preempt state
             if profile_steps and i == 2:
                 jax.profiler.start_trace(
                     os.path.join(self.output_dir, "profile"))
-            self.train_state, metrics = self._train_step(self.train_state,
-                                                         batch, zyx)
+            if cached:
+                with jax.set_mesh(self.mesh):
+                    self.train_state, metrics = self._feat_train_step_jit(
+                        self.train_state, batch)
+            else:
+                self.train_state, metrics = self._train_step(self.train_state,
+                                                             batch, zyx)
             if profile_steps and i == 2 + profile_steps:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
@@ -402,13 +512,25 @@ class Trainer:
                 start_time = time.time()
 
     def validate(self, epoch: int) -> None:
+        self._ensure_feature_cache()
+        cached = self._feature_cache is not None
         losses, correct, total = [], 0.0, 0.0
         i = -1
-        for i, batch in enumerate(self.val_dataloader):
-            host, zyx = self._device_batch(batch)
-            batch = shard_batch(host, self.mesh, replicate=self.model.is_4d)
-            m = self._eval_step(self.train_state["params"],
-                                self.train_state["model_state"], batch, zyx)
+        val_loader = self._feat_val_dataloader if cached else self.val_dataloader
+        for i, batch in enumerate(val_loader):
+            if cached:
+                host, _ = self._device_batch_features(batch)
+                batch = shard_batch(host, self.mesh, replicate=True)
+                with jax.set_mesh(self.mesh):
+                    m = self._feat_eval_step_jit(self.train_state["params"],
+                                                 batch)
+            else:
+                host, zyx = self._device_batch(batch)
+                batch = shard_batch(host, self.mesh,
+                                    replicate=self.model.is_4d)
+                m = self._eval_step(self.train_state["params"],
+                                    self.train_state["model_state"], batch,
+                                    zyx)
             losses.append(m["loss"])
             correct += float(m["correct"])
             total += float(m["count"])
@@ -474,6 +596,18 @@ class Trainer:
         return accuracy
 
     # ------------------------------------------------------------------
+
+    def _device_batch_features(self, batch: Dict[str, Any]):
+        """Feature-cache analog of ``_device_batch``: the cached [B, T, C]
+        encodings ride the ``volume`` key through the loader (identical
+        collation/padding/masking) and ship as ``feat``. Returns
+        ``(out, zyx=False)`` to match the prefetcher's contract."""
+        out = {
+            "feat": np.asarray(batch["volume"], np.float32),
+            "label": np.asarray(batch["label"], np.int32),
+            "valid": np.asarray(batch["valid"], np.bool_),
+        }
+        return out, False
 
     def _device_batch(self, batch: Dict[str, Any]):
         """Select the array fields the jitted steps consume, padded (with

@@ -62,9 +62,58 @@ def main():
         params, opt_state, rng, loss = step(params, opt_state, rng, x, labels)
     float(loss)
     dt = time.perf_counter() - t0
-    print(f"4D train: {B*iters/dt:.2f} sequences/sec "
+    full_seq_s = B * iters / dt
+    print(f"4D train: {full_seq_s:.2f} sequences/sec "
           f"({dt/iters*1e3:.0f} ms/step, {B*T*iters/dt:.1f} volumes/sec "
           f"through the frozen encoder, loss {float(loss):.4f})")
+
+    # ---- feature-cache mode (TRAINING_4D_FEATURE_CACHE) ------------------
+    # The frozen encoder is deterministic, so its [T, C] per-sequence
+    # outputs are constant across epochs: encode once, then every epoch
+    # trains only the temporal head + projection on cached features.
+    encode = jax.jit(lambda p, x: model.encode_sequence(
+        p, {"volume_encoder": {}}, x)[0])
+    t0 = time.perf_counter()
+    feats = encode(params, x)
+    np.asarray(feats)                               # hard sync
+    t_encode = time.perf_counter() - t0
+    print(f"feature-cache precompute: {B/t_encode:.2f} sequences/sec "
+          f"one-time ({t_encode*1e3:.0f} ms for the batch)")
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def feat_step(params, opt_state, rng, feats, labels):
+        rng, srng = jax.random.split(rng)
+
+        def loss_fn(p):
+            logits = model.apply_features(p, feats, deterministic=False,
+                                          rng=srng)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, rng, loss
+
+    params, opt_state, rng, loss = feat_step(params, opt_state, rng,
+                                             feats, labels)
+    float(loss)
+    feat_iters = 200
+    t0 = time.perf_counter()
+    for _ in range(feat_iters):
+        params, opt_state, rng, loss = feat_step(params, opt_state, rng,
+                                                 feats, labels)
+    float(loss)
+    dt = time.perf_counter() - t0
+    cached_seq_s = B * feat_iters / dt
+    print(f"4D train (cached epoch): {cached_seq_s:.2f} sequences/sec "
+          f"({dt/feat_iters*1e3:.2f} ms/step, {cached_seq_s/full_seq_s:.0f}x "
+          f"the full step)")
+    for epochs in (5, 10):
+        # amortized speedup for an N-epoch run: one precompute pass (~one
+        # full-forward epoch) + N cached epochs vs N full epochs.
+        full = epochs / full_seq_s
+        cached = t_encode / B + epochs / cached_seq_s
+        print(f"  {epochs}-epoch run speedup with cache: {full/cached:.1f}x")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,132 @@
+"""4D frozen-feature cache: cached training is equivalent to recompute.
+
+The cache encodes each sequence once through the deterministic frozen
+encoder (training/feature_cache.py); epochs then train only the temporal
+head on cached [T, C] features. These tests pin the equivalence contract:
+identical batches, identical RNG stream, matching losses/params vs the
+full volume path.
+"""
+
+import jax
+import numpy as np
+
+from neurovit_tpu.models import NeuroEncoder
+from neurovit_tpu.training import Trainer
+
+
+class Deterministic4D:
+    """4D dataset whose samples are a pure function of the index (the
+    static-across-epochs precondition of the feature cache)."""
+
+    def __init__(self, n, grid=20, t=3, seed=0, fail_idx=None):
+        self.n, self.grid, self.t, self.seed = n, grid, t, seed
+        self.fail_idx = fail_idx
+        self.labels = np.random.RandomState(seed).randint(0, 2, n)
+
+    def __len__(self):
+        return self.n
+
+    def sample(self, idx):
+        if idx == self.fail_idx:
+            return None
+        rng = np.random.RandomState(self.seed * 1000 + idx)
+        base = rng.randn(self.grid, self.grid, self.grid,
+                         self.t).astype(np.float32)
+        base += 2.0 * self.labels[idx]
+        return {"volume": base, "label": int(self.labels[idx]),
+                "subject": f"s{idx}", "timepoint": 0}
+
+
+def _config_4d(tiny_config, **extra):
+    config = dict(tiny_config)
+    config.update({"TRAINING_DIM": 4, "DATASET_NAME": "adni",
+                   "TRAINING_BATCH_SIZE": 2, "TRAINING_EPOCHS": 2,
+                   "TRAINING_DROPOUT": 0.1})
+    config.update(extra)
+    return config
+
+
+def _run(config, epochs=2):
+    model = NeuroEncoder(config)
+    trainer = Trainer(config, model, Deterministic4D(8),
+                      Deterministic4D(4, seed=1))
+    val_losses = []
+    for epoch in range(epochs):
+        trainer.train(epoch)
+        trainer.validate(epoch)
+        val_losses.append(trainer.val_loss)
+    return trainer, val_losses
+
+
+def test_cached_training_matches_recompute(tiny_config):
+    """Losses and trained params track the volume path: same batches (the
+    FeatureView rides the same DataLoader shuffle), same RNG splits, same
+    tail computation on the cached f32 encodings."""
+    base, losses_full = _run(_config_4d(tiny_config))
+    cached, losses_cache = _run(
+        _config_4d(tiny_config, TRAINING_4D_FEATURE_CACHE=True))
+    assert cached._feature_cache is not None
+    assert base._feature_cache is None
+
+    np.testing.assert_allclose(losses_cache, losses_full, rtol=1e-5)
+    # Param tolerance: the encoder runs in a different XLA program when
+    # precomputing (standalone encode jit vs fused full step), so its f32
+    # outputs differ in the last ulp; Adam amplifies that over the epochs
+    # (measured max |delta| ~5e-6 after 2 epochs x 4 steps).
+    for a, b in zip(
+            jax.tree.leaves(base.train_state["params"]["temporal"])
+            + jax.tree.leaves(base.train_state["params"]["projection"]),
+            jax.tree.leaves(cached.train_state["params"]["temporal"])
+            + jax.tree.leaves(cached.train_state["params"]["projection"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=5e-3)
+    # the frozen encoder is untouched either way
+    for a, b in zip(
+            jax.tree.leaves(base.train_state["params"]["volume_encoder"]),
+            jax.tree.leaves(cached.train_state["params"]["volume_encoder"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cache_shapes_and_reuse(tiny_config):
+    """The cache holds one [T, num_classes] f32 array per sample and is
+    built exactly once (train() and validate() share it)."""
+    config = _config_4d(tiny_config, TRAINING_4D_FEATURE_CACHE=True,
+                        TRAINING_EPOCHS=1)
+    model = NeuroEncoder(config)
+    trainer = Trainer(config, model, Deterministic4D(6),
+                      Deterministic4D(2, seed=1))
+    trainer.train(0)
+    cache = trainer._feature_cache
+    assert cache is not None
+    assert len(cache["train"].feats) == 6 and len(cache["val"].feats) == 2
+    for f in cache["train"].feats:
+        assert f.shape == (3, model.num_classes) and f.dtype == np.float32
+    trainer.validate(0)                       # reuses, does not rebuild
+    assert trainer._feature_cache is cache
+    assert np.isfinite(trainer.val_loss)
+
+
+def test_cache_masks_failed_samples(tiny_config):
+    """A failed read at precompute time is cached as None and skip-and-
+    masked by the loader, mirroring the volume path's fault tolerance."""
+    config = _config_4d(tiny_config, TRAINING_4D_FEATURE_CACHE=True,
+                        TRAINING_EPOCHS=1)
+    model = NeuroEncoder(config)
+    trainer = Trainer(config, model, Deterministic4D(6, fail_idx=3),
+                      Deterministic4D(2, seed=1))
+    trainer.train(0)
+    assert trainer._feature_cache["train"].feats[3] is None
+    trainer.validate(0)
+    assert np.isfinite(trainer.val_loss)
+
+
+def test_feature_cache_off_for_3d(tiny_config):
+    """The flag is inert outside 4D mode."""
+    config = dict(tiny_config, TRAINING_4D_FEATURE_CACHE=True)
+    model = NeuroEncoder(config)
+    assert not model.is_4d
+    from neurovit_tpu.data.synthetic import GradCAMDataset
+    ds = GradCAMDataset(config, mode="train", generate_data=True)
+    val = GradCAMDataset(config, mode="val")
+    trainer = Trainer(config, model, ds, val)
+    assert not trainer._use_feature_cache
