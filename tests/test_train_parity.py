@@ -253,19 +253,68 @@ def test_full_run_convergence_parity_exact(tiny_config):
     assert t_accs[-1] >= 0.95 and j_accs[-1] >= 0.95, (t_accs, j_accs)
 
 
+def _torch_run_dropout_seed(epochs, val_x, val_y, dropout, n_classes,
+                            dropout_seed):
+    """_torch_run with the INIT fixed (manual_seed(0), identical weights
+    every call) but the subsequent dropout RNG stream re-seeded — isolates
+    torch's own seed-to-seed trajectory spread."""
+    torch.manual_seed(0)
+    tmodel = TorchViT3D(
+        image_size=20, image_patch_size=5, frames=20, frame_patch_size=5,
+        num_classes=n_classes, dim=64, depth=2, heads=4, dim_head=16,
+        mlp_dim=128, channels=1, pool="cls", dropout=dropout,
+        emb_dropout=dropout)
+    init_sd = {k: v.copy() for k, v in tmodel.ref_state_dict().items()}
+    torch.manual_seed(1000 + dropout_seed)      # vary ONLY the mask draws
+    opt = torch.optim.AdamW(tmodel.parameters(), lr=LR, weight_decay=WD)
+    loss_fn = torch.nn.CrossEntropyLoss()
+    losses, accs = [], []
+    for batches in epochs:
+        tmodel.train()
+        ep = []
+        for b in batches:
+            opt.zero_grad()
+            tin = torch.from_numpy(b["volume"]).permute(0, 3, 1, 2).unsqueeze(1)
+            loss = loss_fn(tmodel(tin), torch.from_numpy(b["label"]).long())
+            loss.backward()
+            opt.step()
+            ep.append(float(loss.detach()))
+        losses.append(float(np.mean(ep)))
+        tmodel.eval()
+        with torch.no_grad():
+            tv = torch.from_numpy(val_x).permute(0, 3, 1, 2).unsqueeze(1)
+            preds = tmodel(tv).argmax(dim=1).numpy()
+        accs.append(float((preds == val_y).mean()))
+    return init_sd, losses, accs
+
+
 @pytest.mark.slow
 def test_full_run_convergence_parity_dropout(tiny_config):
     """Dropout ON (0.1): RNG streams differ between frameworks, so the
-    comparison is statistical — both runs must converge to the same place
-    (final val accuracy) along comparable loss trajectories."""
+    comparison is statistical — the JAX trajectory must fall inside
+    torch's OWN dropout-seed-to-seed spread (4 torch oracles, identical
+    init, different mask streams), replacing the old 0.25-nat hand
+    tolerance with a measured band."""
     config, epochs, val_x, val_y = _cube_task(tiny_config, dropout=0.1)
     model = NeuroEncoder(config)
-    init_sd, t_losses, t_accs = _torch_run(epochs, val_x, val_y, 0.1,
-                                           model.num_classes)
+    t_runs = [_torch_run_dropout_seed(epochs, val_x, val_y, 0.1,
+                                      model.num_classes, seed)
+              for seed in range(4)]
+    init_sd = t_runs[0][0]
+    t_losses = np.array([r[1] for r in t_runs])   # [seeds, epochs]
+    t_accs = np.array([r[2] for r in t_runs])
     j_losses, j_accs = _jax_run(config, init_sd, epochs, val_x, val_y)
-    print(f"torch losses {t_losses} accs {t_accs}")
+    lo, hi = t_losses.min(axis=0), t_losses.max(axis=0)
+    print(f"torch loss band {list(zip(lo.round(4), hi.round(4)))} "
+          f"accs {t_accs.tolist()}")
     print(f"jax   losses {j_losses} accs {j_accs}")
-    for jl, tl in zip(j_losses, t_losses):
-        assert abs(jl - tl) <= 0.25, (j_losses, t_losses)
-    assert t_accs[-1] >= 0.9 and j_accs[-1] >= 0.9, (t_accs, j_accs)
-    assert abs(j_accs[-1] - t_accs[-1]) <= 0.1
+    # Band check: inside torch's seed spread, widened by half the band (4
+    # seeds under-sample the tails) plus a small absolute floor.
+    margin = np.maximum(0.5 * (hi - lo), 0.02)
+    for e, jl in enumerate(j_losses):
+        assert lo[e] - margin[e] <= jl <= hi[e] + margin[e], (
+            f"epoch {e}: jax loss {jl} outside torch band "
+            f"[{lo[e]:.4f}, {hi[e]:.4f}] +- {margin[e]:.4f}")
+    assert (t_accs[:, -1] >= 0.9).all() and j_accs[-1] >= 0.9, (
+        t_accs, j_accs)
+    assert abs(j_accs[-1] - t_accs[:, -1].mean()) <= 0.1
