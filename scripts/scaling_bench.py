@@ -83,9 +83,15 @@ def main():
             KERNEL_IMPL="xla" if args.tiny else "auto",
             MESH_DATA_AXIS=axes["data"], MESH_MODEL_AXIS=axes["model"],
             MESH_PIPE_AXIS=axes["pipe"], WANDB_MODE="disabled"))
+        from neurovit_tpu.parallel import shard_batch
+
         ds_train, ds_val = get_datasets(config)
         trainer = Trainer(config, NeuroEncoder(config), ds_train, ds_val)
-        batch = trainer._device_batch(next(iter(trainer.dataloader)))[0]
+        host = trainer._device_batch(next(iter(trainer.dataloader)))[0]
+        # Shard over the data axis exactly like the training loop — an
+        # unsharded host batch would be replicated under jit, silently
+        # timing redundant compute instead of data parallelism.
+        batch = shard_batch(host, trainer.mesh)
 
         def step():
             trainer.train_state, metrics = trainer._train_step(
