@@ -23,11 +23,22 @@ def main():
     from neurovit_tpu.config import load_config
     from neurovit_tpu.models import NeuroEncoder
 
+    quant = "--int8" in sys.argv
     config = load_config("configs/config4D.yaml", overrides={
         "KERNEL_IMPL": "pallas", "TRAINING_PRECISION": "bf16"})
     model = NeuroEncoder(config)
     variables = model.init(jax.random.key(0))
     params = variables["params"]
+    state = variables["state"]
+    if quant:
+        # TRAINING_4D_ENCODER_QUANT=int8 path: the frozen encoder's GEMMs
+        # on the int8 MXU. Exactly like the trainer, the quantized copy
+        # rides in model_state (non-differentiated) — params stay bf16.
+        from neurovit_tpu.ops import int8_serving
+        ve = dict(params["volume_encoder"])
+        ve["blocks"] = int8_serving.quantize_blocks(ve["blocks"])
+        state = {**state, "q8_volume_encoder": jax.tree.map(jnp.array, ve)}
+        print("mode: int8 frozen encoder")
     mask = model.trainable_mask(params)
     tx = optax.masked(optax.adamw(config["TRAINING_LEARNING_RATE"]), mask)
     opt_state = tx.init(params)
@@ -37,11 +48,12 @@ def main():
     rng = jax.random.key(1, impl="rbg")
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, rng, x, labels):
+    def step(params, opt_state, rng, state, x, labels):
         rng, srng = jax.random.split(rng)
 
         def loss_fn(p):
-            logits, _ = model.apply(p, x, deterministic=False, rng=srng)
+            logits, _ = model.apply(p, x, state=state, deterministic=False,
+                                    rng=srng)
             return optax.softmax_cross_entropy_with_integer_labels(
                 logits, labels).mean()
 
@@ -50,16 +62,19 @@ def main():
         return optax.apply_updates(params, updates), opt_state, rng, loss
 
     t0 = time.perf_counter()
-    params, opt_state, rng, loss = step(params, opt_state, rng, x, labels)
+    params, opt_state, rng, loss = step(params, opt_state, rng, state,
+                                        x, labels)
     float(loss)
     print(f"compile+first step: {time.perf_counter()-t0:.1f}s")
     for _ in range(2):
-        params, opt_state, rng, loss = step(params, opt_state, rng, x, labels)
+        params, opt_state, rng, loss = step(params, opt_state, rng, state,
+                                            x, labels)
     float(loss)
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        params, opt_state, rng, loss = step(params, opt_state, rng, x, labels)
+        params, opt_state, rng, loss = step(params, opt_state, rng, state,
+                                            x, labels)
     float(loss)
     dt = time.perf_counter() - t0
     full_seq_s = B * iters / dt
@@ -71,10 +86,10 @@ def main():
     # The frozen encoder is deterministic, so its [T, C] per-sequence
     # outputs are constant across epochs: encode once, then every epoch
     # trains only the temporal head + projection on cached features.
-    encode = jax.jit(lambda p, x: model.encode_sequence(
-        p, {"volume_encoder": {}}, x)[0])
+    encode = jax.jit(lambda p, s, x: model.encode_sequence(p, s, x)[0])
+    np.asarray(encode(params, state, x))            # compile warm-up
     t0 = time.perf_counter()
-    feats = encode(params, x)
+    feats = encode(params, state, x)
     np.asarray(feats)                               # hard sync
     t_encode = time.perf_counter() - t0
     print(f"feature-cache precompute: {B/t_encode:.2f} sequences/sec "

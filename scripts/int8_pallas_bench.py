@@ -35,6 +35,7 @@ def _mm_kernel(a_ref, b_ref, o_ref, acc_dtype):
 def blocked_matmul(a, b, *, bm=256, bn=256, acc_dtype):
     m, k = a.shape
     k2, n = b.shape
+    bm, bn = min(bm, m), min(bn, n)    # narrow attention shapes (n=64)
     assert k == k2 and m % bm == 0 and n % bn == 0
     return pl.pallas_call(
         functools.partial(_mm_kernel, acc_dtype=acc_dtype),
@@ -62,6 +63,7 @@ def dynquant_matmul(a_i8, b_i8, sa, sb, *, bm=256, bn=256):
     to bf16 (the realistic cost, not just the raw int8 rate)."""
     m, k = a_i8.shape
     _, n = b_i8.shape
+    bm, bn = min(bm, m), min(bn, n)
     return pl.pallas_call(
         _dq_kernel,
         grid=(m // bm, n // bn),
@@ -116,9 +118,16 @@ def timeit(fn, a, *rest, iters=8, reps_hi=96, reps_lo=8):
 
 # Flagship serving GEMMs (b64 serving: M = 64*1352 tokens row-blocked) +
 # the square diagnostic where XLA's int8 showed its only consistent win.
+# Round-4 go/no-go additions (VERDICT r3 #5): the remaining bf16 serving
+# components — attention QK^T/PV at the d_head=64 shape floor
+# (reference vit_3d.py:53-58) and the patch-embed GEMM (patch 9 -> K=729,
+# measured at the 768 lane-aligned proxy Mosaic would pad to anyway).
 SHAPES = [("fc1", 8192, 1024, 2048),
           ("fc2", 8192, 2048, 1024),
           ("qkv", 8192, 1024, 1536),
+          ("attn_qk", 8192, 64, 1024),
+          ("attn_pv", 8192, 1024, 64),
+          ("patch_embed", 8192, 768, 1024),
           ("square4k", 4096, 4096, 4096)]
 
 
