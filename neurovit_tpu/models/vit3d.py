@@ -300,13 +300,21 @@ def _attention_residual(block: dict, x: jax.Array, cfg: ViTConfig, *,
         if not deterministic:
             raise ValueError("int8-quantized blocks are serving-only "
                              "(deterministic=True)")
+        import os
+
         from neurovit_tpu.ops import int8_serving
-        from neurovit_tpu.ops.flash_attention import flash_attention
         b, n, _ = x.shape
         q, k, v = int8_serving.int8_ln_qkv(block, x, cfg.heads, cfg.dim_head)
-        out = flash_attention(q, k, v, scale=cfg.dim_head ** -0.5,
-                              dropout_rate=0.0, dropout_rng=None,
-                              n_valid=n_valid, layout="bnhd")
+        if os.environ.get("NEUROVIT_INT8_ATTN", "pv") != "off":
+            # Round 4: PV on the int8 MXU too (QK^T/softmax stay exact —
+            # see ops/int8_serving.int8_flash_attention).
+            out = int8_serving.int8_flash_attention(
+                q, k, v, scale=cfg.dim_head ** -0.5, n_valid=n_valid)
+        else:
+            from neurovit_tpu.ops.flash_attention import flash_attention
+            out = flash_attention(q, k, v, scale=cfg.dim_head ** -0.5,
+                                  dropout_rate=0.0, dropout_rng=None,
+                                  n_valid=n_valid, layout="bnhd")
         attn2d = out.reshape(b, n, cfg.inner_dim)
         return int8_serving.int8_outproj_residual(block["attn_out_q8"], x,
                                                   attn2d)

@@ -28,8 +28,16 @@ row streaming, weights VMEM-resident across the M grid):
     int8_outproj_residual ~ ops/fused_outproj (deterministic) (proj + res)
     int8_mlp_block        ~ ops/fused_mlp (deterministic)     (full MLP)
 
-Flash attention itself stays bf16 (softmax numerics; its matmuls are at the
-d_head=64 shape floor, not worth quantizing).
+Attention (round 4): the PV matmul runs on the int8 MXU too
+(``int8_flash_attention``) — the round-4 probe measured int8+dequant at
+**5.71x** bf16 on the PV shape (8192x1024x64) but only 1.36x on QK^T
+(the K=64 contraction is too short to amortize the MXU pipeline
+regardless of dtype), so Q/K/scores/softmax stay bf16/f32 (exact) and
+only the probabilities are quantized: P per-row against its row max
+(nonneg, so 0..127), V per-channel — both scale vectors broadcast
+straight into the dequant epilogue with no transpose. The row
+normalizer is summed from the EXACT f32 probabilities before
+quantization. A/B via ``NEUROVIT_INT8_ATTN=off``.
 
 SERVING-ONLY: forward has no custom VJP; ``models/vit3d.py`` dispatches to
 these kernels when a block carries ``*_q8`` entries and refuses
@@ -47,7 +55,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from neurovit_tpu.nn import LN_EPS
 from neurovit_tpu.ops.common import const_spec, pad_m, row_spec
-from neurovit_tpu.ops.flash_attention import _interpret
+from neurovit_tpu.ops.flash_attention import (LANE, LOG2E, MAX_RESIDENT_N,
+                                              SCORE_CAP, _block_q, _interpret)
 from neurovit_tpu.ops.fused_mlp import _gelu
 
 BLOCK_M = 512
@@ -267,3 +276,98 @@ def int8_mlp_block(block: dict, x: jax.Array) -> jax.Array:
       p1["w"], p1["scale"].reshape(1, -1), p1["bias"].reshape(1, -1),
       p2["w"], p2["scale"].reshape(1, -1), p2["bias"].reshape(1, -1))
     return y[:m].reshape(b, n, dim)
+
+
+# ---------------------------------------------------------------------------
+# int8 attention: PV on the int8 MXU (deterministic / serving only)
+# ---------------------------------------------------------------------------
+
+def _attn_pv_kernel(q_ref, k_ref, v_ref, o_ref, *,
+                    scale: float, n_valid: int, n_heads: int):
+    """All-heads bnhd attention with the PV matmul in int8.
+
+    Same structure as ``flash_attention._fwd_kernel_allheads`` (one program
+    per batch element, [n_pad, H*D] slabs VMEM-resident, lane-sliced heads,
+    exp2+SCORE_CAP softmax, deferred normalization) with one change: the
+    [block_q, N] probabilities are quantized per row against their row max
+    (nonnegative, so the full 0..127 range) and V per output channel, and
+    the PV contraction runs int8 on the MXU. QK^T stays bf16 — the round-4
+    probe measured int8 QK^T at only 1.07-1.36x (the K=64 contraction is
+    shape-floor-bound) vs 5.71x for PV (BENCH.md "int8 go/no-go"). The row
+    normalizer comes from the exact f32 probabilities, so quantization
+    error enters only through the numerator."""
+    n_pad, hd = q_ref.shape
+    d = hd // n_heads
+    block_q = _block_q(n_pad)
+    n_blocks = n_pad // block_q
+
+    if n_valid < n_pad:
+        kv_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, n_pad), 1)
+        pad_maskf = (kv_ids < n_valid).astype(jnp.float32)
+
+    for h in range(n_heads):
+        k = k_ref[:, pl.ds(h * d, d)]
+        vf = v_ref[:, pl.ds(h * d, d)].astype(jnp.float32)
+        # Per-channel V quant: the [1, d] scale broadcasts over output rows
+        # (a per-token V scale would sit inside the key contraction and not
+        # factor out).
+        vmax = jnp.max(jnp.abs(vf), axis=0, keepdims=True)
+        s_v = jnp.where(vmax > 0, vmax / 127.0, 1.0)
+        v8 = jnp.clip(jnp.round(vf / s_v), -127, 127).astype(jnp.int8)
+        for qb in range(n_blocks):
+            q = q_ref[pl.ds(qb * block_q, block_q), pl.ds(h * d, d)]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (scale * LOG2E)
+            p = jnp.exp2(jnp.clip(s, -SCORE_CAP, SCORE_CAP))
+            if n_valid < n_pad:
+                p = p * pad_maskf
+            denom = jnp.sum(p, axis=1, keepdims=True)
+            pmax = jnp.max(p, axis=1, keepdims=True)
+            s_p = jnp.where(pmax > 0, pmax / 127.0, 1.0)
+            p8 = jnp.clip(jnp.round(p / s_p), 0, 127).astype(jnp.int8)
+            acc = jnp.dot(p8, v8, preferred_element_type=jnp.int32)
+            o = acc.astype(jnp.float32) * (s_p / denom * s_v)
+            o_ref[pl.ds(qb * block_q, block_q), pl.ds(h * d, d)] = (
+                o.astype(o_ref.dtype))
+
+
+def int8_flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                         scale: float, n_valid=None) -> jax.Array:
+    """bnhd ([B, N, H, D]) deterministic attention with int8 PV.
+
+    Serving analog of ``flash_attention(..., layout="bnhd")`` with
+    ``dropout_rate=0``; falls back to the bf16 kernel outside its regime
+    (tiny head dims, very long sequences)."""
+    b, n, h, d = q.shape
+    if n > MAX_RESIDENT_N or d < 8:
+        from neurovit_tpu.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v, scale=scale, dropout_rate=0.0,
+                               n_valid=n_valid, layout="bnhd")
+    n_valid = int(n_valid) if n_valid is not None else n
+    n_pad = pl.cdiv(n, LANE) * LANE
+    if n_pad != n:
+        pads = ((0, 0), (0, n_pad - n), (0, 0), (0, 0))
+        q, k, v = (jnp.pad(x, pads) for x in (q, k, v))
+    q2, k2, v2 = (x.reshape(b, n_pad, h * d) for x in (q, k, v))
+    slab = pl.BlockSpec((None, n_pad, h * d), lambda bi: (bi, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_pv_kernel, scale=scale, n_valid=n_valid,
+                          n_heads=h),
+        grid=(b,),
+        interpret=_interpret(),
+        in_specs=[slab] * 3,
+        out_specs=slab,
+        out_shape=jax.ShapeDtypeStruct(q2.shape, q2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n_pad * n_pad * d,
+            bytes_accessed=(3 * b * h * n_pad * d * q.dtype.itemsize
+                            + b * h * n_pad * d * q.dtype.itemsize),
+            transcendentals=b * h * n_pad * n_pad),
+    )(q2, k2, v2)
+    out = out.reshape(b, n_pad, h, d)
+    return out[:, :n] if n_pad != n else out

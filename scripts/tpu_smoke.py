@@ -123,11 +123,20 @@ def check_int8_serving():
         def rel(a, b):
             return jnp.linalg.norm(a.astype(jnp.float32) - b) \
                 / jnp.linalg.norm(b)
-        return rel(q8, rq), rel(y8, ry)
 
-    e_q, e_m = (float(e) for e in errs(x))
-    print(f"int8 serving rel err: qkv {e_q:.4f}, mlp {e_m:.4f}")
-    assert e_q < 0.05 and e_m < 0.05, "int8 serving kernels off"
+        # round 4: PV-int8 attention vs the exact f32 softmax composition
+        scale = cfg.dim_head ** -0.5
+        a8 = int8_serving.int8_flash_attention(q8, k8, v8, scale=scale)
+        qf, kf, vf = (t.astype(jnp.float32) for t in (q8, k8, v8))
+        s = jnp.einsum("bnhd,bmhd->bhnm", qf, kf) * scale
+        ra = jnp.einsum("bhnm,bmhd->bnhd", jax.nn.softmax(s, axis=-1), vf)
+        return rel(q8, rq), rel(y8, ry), rel(a8, ra)
+
+    e_q, e_m, e_a = (float(e) for e in errs(x))
+    print(f"int8 serving rel err: qkv {e_q:.4f}, mlp {e_m:.4f}, "
+          f"attn-pv {e_a:.4f}")
+    assert e_q < 0.05 and e_m < 0.05 and e_a < 0.02, \
+        "int8 serving kernels off"
 
 
 def check_fused_dropout():

@@ -84,6 +84,58 @@ def test_int8_mlp_block_matches_f32(block):
     assert _rel(y8, ref) < 0.05
 
 
+def _sdpa_ref(q, k, v, scale, n_valid=None):
+    s = jnp.einsum("bnhd,bmhd->bhnm", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    if n_valid is not None and n_valid < q.shape[1]:
+        s = jnp.where(jnp.arange(q.shape[1])[None, None, None, :] < n_valid,
+                      s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", p, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("n_valid", [None, 20])
+def test_int8_flash_attention_matches_softmax(n_valid):
+    """PV-int8 attention vs the exact f32 softmax composition (bnhd layout).
+    P quantizes per-row against its row max and V per channel, so the
+    numerator carries <=1% rel err while the softmax itself is exact."""
+    b, n, h, d = 2, 30, HEADS, DIM_HEAD
+    keys = jax.random.split(jax.random.key(11), 3)
+    q, k, v = (jax.random.normal(kk, (b, n, h, d)) for kk in keys)
+    scale = d ** -0.5
+    got = int8_serving.int8_flash_attention(q, k, v, scale=scale,
+                                            n_valid=n_valid)
+    ref = _sdpa_ref(q, k, v, scale, n_valid)
+    if n_valid is not None:
+        got, ref = got[:, :n_valid], ref[:, :n_valid]
+    assert _rel(got, ref) < 0.02
+
+
+def test_int8_flash_attention_tiny_head_falls_back():
+    # d_head < 8 (the temporal-head regime) routes to the bf16/XLA path.
+    b, n, h, d = 1, 12, 1, 2
+    keys = jax.random.split(jax.random.key(12), 3)
+    q, k, v = (jax.random.normal(kk, (b, n, h, d)) for kk in keys)
+    got = int8_serving.int8_flash_attention(q, k, v, scale=d ** -0.5)
+    ref = _sdpa_ref(q, k, v, d ** -0.5)
+    assert _rel(got, ref) < 1e-2
+
+
+def test_int8_attn_env_off_matches_bf16_path(block, monkeypatch):
+    """NEUROVIT_INT8_ATTN=off A/B: the quantized block's attention falls
+    back to the bf16 flash kernel; both paths stay within int8-GEMM
+    tolerance of each other (only PV quantization differs)."""
+    blk, cfg = block
+    qblk = int8_serving.quantize_blocks(blk)
+    x = jax.random.normal(jax.random.key(13), (2, 30, DIM))
+    y_pv = vit3d._attention_residual(qblk, x, cfg, deterministic=True,
+                                     rng=None)
+    monkeypatch.setenv("NEUROVIT_INT8_ATTN", "off")
+    y_bf16 = vit3d._attention_residual(qblk, x, cfg, deterministic=True,
+                                       rng=None)
+    assert _rel(y_pv, y_bf16) < 0.02
+
+
 def test_quantized_blocks_refuse_training_and_probe(block):
     blk, cfg = block
     qblk = int8_serving.quantize_blocks(blk)
