@@ -95,13 +95,17 @@ def _sdpa_ref(q, k, v, scale, n_valid=None):
 
 
 @pytest.mark.parametrize("n_valid", [None, 20])
-def test_int8_flash_attention_matches_softmax(n_valid):
+@pytest.mark.parametrize("q_gain", [1.0, 4.0])
+def test_int8_flash_attention_matches_softmax(n_valid, q_gain):
     """PV-int8 attention vs the exact f32 softmax composition (bnhd layout).
     P quantizes per-row against its row max and V per channel, so the
-    numerator carries <=1% rel err while the softmax itself is exact."""
+    numerator carries <=1% rel err while the softmax itself is exact.
+    q_gain=4 makes the score range ~4x wider (strongly peaked rows — the
+    regime where sub-rowmax/254 attention weights round to zero)."""
     b, n, h, d = 2, 30, HEADS, DIM_HEAD
     keys = jax.random.split(jax.random.key(11), 3)
     q, k, v = (jax.random.normal(kk, (b, n, h, d)) for kk in keys)
+    q = q * q_gain
     scale = d ** -0.5
     got = int8_serving.int8_flash_attention(q, k, v, scale=scale,
                                             n_valid=n_valid)
