@@ -64,6 +64,33 @@ def test_batched_cam_matches_per_sample(tiny_config):
         np.testing.assert_allclose(cam_b[i], cam_1, rtol=1e-4, atol=1e-5)
 
 
+def test_val_label_coverage_ceiling_flagship():
+    """The flagship showcase's val-accuracy plateau is a dataset property,
+    not a model defect: cube positions are sampled uniformly over
+    (90//8)^3 = 1331 classes (reference DatasetGradCAM.py:100-119), so with
+    3200 train draws ~e^-2.4 = 9% of classes never occur in training, and a
+    1331-way softmax classifier cannot emit a label it never saw. For the
+    showcase seed (42) the ceiling is exactly 721/800 = 0.90125 — the
+    on-chip run plateaus at exactly this value with train accuracy 1.0
+    (BENCH.md "End-to-end convergence showcase"; `scripts/eval_showcase.py`
+    verifies the trained model's errors are exactly the unseen-label
+    samples). The reference generator shares the ceiling; its config
+    comment's "100%" is the 2-class ADNI age task
+    (reference configs/config.yaml:23 "classification 2"), not this task.
+    """
+    config = {
+        "TRAINING_VIT_INPUT_SIZE": 90, "GRADCAM_CUBE_SIZE": 8,
+        "GRADCAM_BACKGROUND_NOISE": 0, "GRADCAM_NUM_SAMPLES": 4000,
+        "TRAINING_SEED": 42, "GRADCAM_TRAIN_PATH": None,
+        "GRADCAM_VAL_PATH": None,
+    }
+    train = GradCAMDataset(config, "train")
+    val = GradCAMDataset(config, "val")
+    assert len(train) == 3200 and len(val) == 800
+    achievable = np.isin(val.labels, np.unique(train.labels))
+    assert int(achievable.sum()) == 721  # ceiling = 721/800 = 0.90125
+
+
 def test_visualize_slice_dims(tiny_config):
     cam = np.random.RandomState(0).rand(20, 20, 20)
     vol = np.random.RandomState(1).rand(20, 20, 20)
