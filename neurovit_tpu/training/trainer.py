@@ -124,6 +124,27 @@ class Trainer:
             # ts["model_state"].
             q8 = jax.tree.map(jnp.array, q8)
             model_state = {**model_state, "q8_volume_encoder": q8}
+        # TRAINING_HOST_TRANSFER_DTYPE: bf16 — cast volume batches to
+        # bfloat16 on the HOST before the device_put. Bit-exact with bf16
+        # compute (the model's first device op is volume.astype(bf16), the
+        # same round-to-nearest-even cast — tests/test_trainer_synthetic.py
+        # pins step-level equality) while halving host->HBM transfer bytes:
+        # a real win on transfer-bound hosts (this box's tunneled link moves
+        # ~100 MB/s, BENCH.md "showcase") and on any deployment's host link.
+        # Refused for f32 compute, where it would genuinely drop mantissa.
+        host_dtype = str(config.get("TRAINING_HOST_TRANSFER_DTYPE",
+                                    "f32")).lower()
+        if host_dtype not in ("f32", "float32", "bf16", "bfloat16"):
+            raise ValueError(
+                f"unknown TRAINING_HOST_TRANSFER_DTYPE {host_dtype!r} "
+                "(supported: 'f32', 'bf16')")
+        self._host_bf16 = host_dtype in ("bf16", "bfloat16")
+        if (self._host_bf16
+                and config.get("TRAINING_PRECISION", "bf16") != "bf16"):
+            raise ValueError(
+                "TRAINING_HOST_TRANSFER_DTYPE: bf16 requires "
+                "TRAINING_PRECISION: bf16 (with f32 compute the host cast "
+                "would lose precision the device path keeps)")
         self.accum = max(1, int(config.get("TRAINING_ACCUMULATION_STEP", 1)))
         mask = model.trainable_mask(params)
         from neurovit_tpu.training.optim import build_optimizer
@@ -636,9 +657,18 @@ class Trainer:
                 "batch['zyx'] is set but the volume is not a z-major "
                 "transpose view — an upstream copy/transform changed the "
                 "memory layout after the loader produced the batch")
+        ship = vol.transpose(0, 3, 2, 1) if zyx else np.asarray(vol,
+                                                                np.float32)
+        if self._host_bf16:
+            # Cast the C-contiguous buffer (the raw z-major base for zyx
+            # batches — a contiguous elementwise cast, preserving the
+            # zero-host-transpose win; the [B,X,Y,Z] stack otherwise).
+            # Identical RNE rounding to the device-side astype(bf16) the
+            # model would apply to an f32 volume, at half the shipped bytes.
+            import ml_dtypes
+            ship = ship.astype(ml_dtypes.bfloat16)
         out = {
-            "volume": (vol.transpose(0, 3, 2, 1) if zyx
-                       else np.asarray(vol, np.float32)),
+            "volume": ship,
             "label": np.asarray(batch["label"], np.int32),
             "valid": np.asarray(batch["valid"], np.bool_),
         }

@@ -52,6 +52,43 @@ def test_grad_accumulation_equivalence(tiny_config):
     assert not np.allclose(np.asarray(params_before), np.asarray(params_after))
 
 
+def test_host_bf16_transfer_step_equality(tiny_config):
+    """TRAINING_HOST_TRANSFER_DTYPE: bf16 is bit-exact with bf16 compute:
+    the host-side f32->bf16 cast is the same RNE rounding the model's
+    first device op (volume.astype(bf16)) applies, so shipping half the
+    bytes changes nothing downstream."""
+    import jax
+    import pytest
+    base = dict(tiny_config)
+    base.update({"TRAINING_EPOCHS": 1, "DATASET_GENERATE": True,
+                 "GRADCAM_NUM_SAMPLES": 32, "TRAINING_PRECISION": "bf16"})
+    ds_train, ds_val = get_datasets(base)
+
+    def one_step(host_dtype):
+        config = dict(base)
+        config["TRAINING_HOST_TRANSFER_DTYPE"] = host_dtype
+        model = NeuroEncoder(config)
+        trainer = Trainer(config, model, ds_train, ds_val)
+        batch = next(iter(trainer.val_dataloader))  # shuffle=False: fixed
+        device_batch, zyx = trainer._device_batch(batch)
+        ts, metrics = trainer._train_step(trainer.train_state,
+                                          device_batch, zyx)
+        leaf = np.asarray(jax.tree.leaves(ts["params"])[0])
+        return float(metrics["loss"]), leaf
+
+    loss32, leaf32 = one_step("f32")
+    loss16, leaf16 = one_step("bf16")
+    assert loss32 == loss16          # identical bits, not just close
+    np.testing.assert_array_equal(leaf32, leaf16)
+
+    # f32 compute refuses the lossy host cast.
+    config = dict(base)
+    config.update({"TRAINING_PRECISION": "f32",
+                   "TRAINING_HOST_TRANSFER_DTYPE": "bf16"})
+    with pytest.raises(ValueError, match="TRAINING_PRECISION"):
+        Trainer(config, NeuroEncoder(config), ds_train, ds_val)
+
+
 def test_validation_masked_metrics(tiny_config):
     """Padded final batch must not distort val accuracy/loss denominators."""
     config = dict(tiny_config)
