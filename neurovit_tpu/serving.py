@@ -30,11 +30,30 @@ class Predictor:
 
     def __init__(self, model: NeuroEncoder, variables: Dict[str, Any],
                  batch_size: int = 32, mesh=None,
-                 quant: Optional[str] = None):
+                 quant: Optional[str] = None,
+                 host_transfer_dtype: Optional[str] = None):
         self.model = model
         self.variables = variables
         self.batch_size = batch_size
         self.mesh = mesh
+        # host_transfer_dtype="bf16": ship request volumes as bfloat16 —
+        # bit-exact under bf16 compute (the model's first device op is
+        # volume.astype(bf16), the same RNE cast; equality pinned in
+        # tests/test_serving.py) at half the host->HBM bytes. Same contract
+        # as the Trainer's TRAINING_HOST_TRANSFER_DTYPE.
+        if host_transfer_dtype in ("none", ""):
+            host_transfer_dtype = None
+        if host_transfer_dtype not in (None, "bf16", "bfloat16"):
+            raise ValueError(
+                f"unknown host_transfer_dtype {host_transfer_dtype!r} "
+                "(supported: 'bf16')")
+        self._host_bf16 = host_transfer_dtype is not None
+        if (self._host_bf16
+                and model.config.get("TRAINING_PRECISION", "bf16") != "bf16"):
+            raise ValueError(
+                "host_transfer_dtype='bf16' requires TRAINING_PRECISION: "
+                "bf16 (with f32 compute the host cast would lose precision "
+                "the device path keeps)")
         if quant in ("none", ""):
             quant = None
         if quant not in (None, "int8"):
@@ -97,7 +116,8 @@ class Predictor:
     def from_checkpoint(cls, config: Dict[str, Any], checkpoint_path: str,
                         batch_size: int = 32,
                         seed: Optional[int] = None,
-                        mesh=None, quant: Optional[str] = None
+                        mesh=None, quant: Optional[str] = None,
+                        host_transfer_dtype: Optional[str] = None
                         ) -> "Predictor":
         """Build from a torch-style state-dict pickle (the Trainer's
         per-epoch / last-model saves)."""
@@ -108,7 +128,8 @@ class Predictor:
                            else config.get("TRAINING_SEED", 42)))
         variables = ckpt.load_variables_file(model, variables,
                                              checkpoint_path, strict=False)
-        return cls(model, variables, batch_size, mesh=mesh, quant=quant)
+        return cls(model, variables, batch_size, mesh=mesh, quant=quant,
+                   host_transfer_dtype=host_transfer_dtype)
 
     def __call__(self, volumes: np.ndarray
                  ) -> Tuple[np.ndarray, np.ndarray]:
@@ -127,6 +148,9 @@ class Predictor:
             if real < bs:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], bs - real, axis=0)])
+            if self._host_bf16:
+                import ml_dtypes
+                chunk = chunk.astype(ml_dtypes.bfloat16)
             if self.mesh is not None:
                 from neurovit_tpu.parallel.sharding import batch_sharding
                 device_chunk = jax.device_put(chunk,
@@ -217,6 +241,10 @@ def main(argv=None) -> None:
                         help="post-training quantization: int8 runs the "
                              "ViT block GEMMs on the int8 MXU (~1.5-2x "
                              "the bf16 GEMM rate, BENCH.md)")
+    parser.add_argument("--host-bf16", action="store_true",
+                        help="ship volumes to the device as bfloat16 "
+                             "(bit-exact under bf16 compute; halves "
+                             "host->HBM transfer bytes)")
     args = parser.parse_args(argv)
 
     config = load_config(args.config)
@@ -224,9 +252,9 @@ def main(argv=None) -> None:
     compile_cache.maybe_enable(config)
     ckpt_path = args.checkpoint or os.path.join(
         config.get("GLOBAL_BASE_PATH", "."), config["BEST_MODEL_PATH"])
-    predictor = Predictor.from_checkpoint(config, ckpt_path,
-                                          batch_size=args.batch_size,
-                                          quant=args.quant)
+    predictor = Predictor.from_checkpoint(
+        config, ckpt_path, batch_size=args.batch_size, quant=args.quant,
+        host_transfer_dtype="bf16" if args.host_bf16 else None)
 
     # Stream compiled-batch-sized chunks through the predictor: memory
     # stays bounded at batch_size volumes regardless of manifest length

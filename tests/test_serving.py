@@ -59,6 +59,32 @@ def test_predictor_mesh_parallel_matches_single_device(tiny_config, tmp_path):
         Predictor.from_checkpoint(tiny_config, path, batch_size=6, mesh=mesh)
 
 
+def test_predictor_host_bf16_transfer_equality(tiny_config, tmp_path):
+    """host_transfer_dtype='bf16' is bit-exact under bf16 compute (the
+    model's first device op is the same f32->bf16 RNE cast the host
+    applies), and refused under f32 compute."""
+    import pytest
+    config = dict(tiny_config)
+    config["TRAINING_PRECISION"] = "bf16"
+    model = NeuroEncoder(config)
+    variables = model.init(jax.random.key(5))
+    path = str(tmp_path / "model.pkl")
+    sd.save(path, sd.to_state_dict(model, variables["params"]))
+
+    p_f32 = Predictor.from_checkpoint(config, path, batch_size=4)
+    p_bf16 = Predictor.from_checkpoint(config, path, batch_size=4,
+                                       host_transfer_dtype="bf16")
+    vols = np.random.RandomState(2).randn(6, 20, 20, 20).astype(np.float32)
+    labels_a, probs_a = p_f32(vols)
+    labels_b, probs_b = p_bf16(vols)
+    np.testing.assert_array_equal(probs_a, probs_b)   # identical bits
+    np.testing.assert_array_equal(labels_a, labels_b)
+
+    with pytest.raises(ValueError, match="TRAINING_PRECISION"):
+        Predictor.from_checkpoint(tiny_config, path,
+                                  host_transfer_dtype="bf16")
+
+
 def test_predictor_4d(tiny_config, tmp_path):
     """Serving the 4D model ([N, H, W, D, T] sequences)."""
     from neurovit_tpu.training import state_dict as sd
