@@ -310,20 +310,54 @@ def save(path: str, state_dict: Dict[str, np.ndarray]) -> None:
                                  for k, v in state_dict.items()})
 
 
+class _NumpyRestrictedUnpickler(pickle.Unpickler):
+    """Admits exactly the callables a flat ``{str: np.ndarray}`` pickle
+    (the legacy save format of older runs of this framework) reconstructs
+    through — nothing else. Checkpoints are untrusted input; the torch
+    formats go through ``torch_pth._RestrictedUnpickler`` and this closes
+    the same door on the numpy fallback (a plain malicious pickle must not
+    reach an unrestricted ``pickle.load``)."""
+
+    _ALLOWED = {
+        ("numpy.core.multiarray", "_reconstruct"),
+        ("numpy._core.multiarray", "_reconstruct"),   # numpy >= 2 module path
+        ("numpy.core.multiarray", "scalar"),
+        ("numpy._core.multiarray", "scalar"),
+        ("numpy", "ndarray"),
+        ("numpy", "dtype"),
+        ("collections", "OrderedDict"),
+    }
+
+    def find_class(self, module: str, name: str):
+        if (module, name) in self._ALLOWED:
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"{module}.{name} is not allowed in checkpoint files")
+
+
 def load(path: str) -> Dict[str, np.ndarray]:
     """Load a flat numpy state dict — torch zip format (what :func:`save`
     writes and the reference's ``torch.save`` produces) or the pre-1.6
     legacy torch pickle-stream format, both via the torch-free reader, or
-    the legacy numpy pickle older runs of this framework saved."""
+    the legacy numpy pickle older runs of this framework saved. Every
+    branch unpickles through a restricted unpickler — a checkpoint file is
+    untrusted input and must never reach unrestricted ``pickle.load``."""
     import zipfile
 
     from neurovit_tpu.training import torch_pth
     if zipfile.is_zipfile(path):
         return torch_pth.load_torch_state_dict(path)
+    # Probe the first pickle with the torch restricted unpickler: the
+    # pre-1.6 stream opens with a bare magic int (no classes needed), and
+    # this framework's legacy numpy pickles fail its find_class cleanly.
     with open(path, "rb") as f:
-        obj = pickle.load(f)
-    if obj == torch_pth._LEGACY_MAGIC:
+        try:
+            first = torch_pth._RestrictedUnpickler(f).load()
+        except pickle.UnpicklingError:
+            first = None
+    if first == torch_pth._LEGACY_MAGIC:
         # Pre-1.6 torch stream: the first pickle is the magic number, the
         # state dict follows with persistent-id storages.
         return torch_pth.load_torch_state_dict(path)
-    return obj
+    with open(path, "rb") as f:
+        return _NumpyRestrictedUnpickler(f).load()

@@ -107,6 +107,38 @@ def test_rejects_arbitrary_objects(tmp_path):
         load_torch_state_dict(path2)
 
 
+class _Evil:
+    """Module-level so pickle.dump can serialize it (test payload)."""
+    executed = False
+
+    def __reduce__(self):
+        return (setattr, (_Evil, "executed", True))
+
+
+def test_state_dict_load_never_reaches_unrestricted_pickle(tmp_path):
+    """sd.load on a non-zip, non-torch file (the numpy-pickle fallback)
+    must refuse arbitrary pickled callables instead of executing them —
+    a 'wild' checkpoint is untrusted input (advisor r4 finding)."""
+    import pickle
+
+    path = str(tmp_path / "evil_plain.pkl")
+    with open(path, "wb") as f:
+        pickle.dump({"w": _Evil()}, f)
+    with pytest.raises(pickle.UnpicklingError):
+        sd.load(path)
+    assert not _Evil.executed
+
+    # The legitimate fallback payload (flat numpy dict incl. scalars)
+    # still loads through the restricted numpy unpickler.
+    ok = str(tmp_path / "ok_plain.pkl")
+    arr = np.arange(6, dtype=np.float32).reshape(2, 3)
+    with open(ok, "wb") as f:
+        pickle.dump({"a": arr, "s": np.float32(1.5)}, f)
+    out = sd.load(ok)
+    np.testing.assert_array_equal(out["a"], arr)
+    assert out["s"] == np.float32(1.5)
+
+
 def test_reference_checkpoint_roundtrip_into_model(tiny_config, tmp_path):
     """Full migration path: torch reference-style checkpoint -> our model."""
     import jax
