@@ -24,6 +24,8 @@ having been preempted by us).
 
 import argparse
 import glob
+import hashlib
+import json
 import os
 import signal
 import subprocess
@@ -64,6 +66,68 @@ def run_epochs_done(output_dir: str) -> int:
     return best + 1
 
 
+def run_id_of(config, main_args) -> str:
+    """Identity of a run: the resolved config contents + the main.py argv.
+    A relaunched driver with the same inputs computes the same id, so its
+    own checkpoints are recognized; a different config (or different CLI
+    args) in the same output dir is a different run."""
+    blob = json.dumps(
+        {"config": {k: v for k, v in sorted(config.items())
+                    if not k.startswith("_")},
+         "argv": list(main_args)},
+        sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def claim_run(output_dir: str, run_id: str, main_args) -> bool:
+    """Stamp ``output_dir`` as belonging to this run (``.run_bounded.json``).
+
+    Returns True when the dir is already stamped for THIS run — a driver
+    restart — so segment 0 may resume from the newest checkpoint. Refuses
+    (SystemExit) when the dir is stamped for a DIFFERENT run or holds
+    unstamped checkpoints: resuming across runs would splice foreign
+    optimizer state into this one, and counting a stranger's model-e* saves
+    as ours would declare the run falsely complete."""
+    marker = os.path.join(output_dir, ".run_bounded.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stamp = json.load(f)
+        if stamp.get("run_id") == run_id:
+            return True
+        raise SystemExit(
+            f"[run_bounded] {output_dir} is stamped for a different run "
+            f"(marker {marker}: run_id {stamp.get('run_id')}, argv "
+            f"{stamp.get('argv')}). Use a dedicated GLOBAL_OUTPUT_DIR per "
+            f"run, or delete the marker to start over.")
+    if newest_checkpoint(output_dir) is not None:
+        raise SystemExit(
+            f"[run_bounded] {output_dir} holds checkpoints but no "
+            f"{marker} — they belong to a run this driver did not start. "
+            f"Point GLOBAL_OUTPUT_DIR at a dedicated directory (or delete "
+            f"the stale checkpoints).")
+    os.makedirs(output_dir, exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"run_id": run_id, "argv": list(main_args)}, f)
+    os.replace(tmp, marker)
+    return False
+
+
+def child_argv(main_args, output_dir: str, segment: int,
+               owns_run: bool) -> list:
+    """argv for the next training segment: resume from the newest
+    checkpoint on any later segment, and on segment 0 of a RESTARTED
+    driver (``owns_run``) — the idempotent relaunch path. An explicit
+    --resume passed by the caller wins."""
+    cmd = [sys.executable, "-u", "main.py", *main_args]
+    if "--resume" in main_args:
+        return cmd
+    resume = newest_checkpoint(output_dir)
+    if resume and (segment > 0 or owns_run):
+        cmd += ["--resume", resume]
+    return cmd
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rss-gb", type=float, default=60.0,
@@ -78,25 +142,31 @@ def main() -> int:
         ap.error("pass main.py arguments after --")
 
     # TRAINING_EPOCHS + output dir from the config the child will use.
+    if "--config" not in main_args or \
+            main_args.index("--config") + 1 >= len(main_args):
+        ap.error("main.py args must include --config <path> (the driver "
+                 "reads TRAINING_EPOCHS and GLOBAL_OUTPUT_DIR from it)")
     from neurovit_tpu.config import load_config
     cfg_path = main_args[main_args.index("--config") + 1]
     config = load_config(cfg_path)
     epochs = int(config["TRAINING_EPOCHS"])
     output_dir = config["GLOBAL_OUTPUT_DIR"]
 
+    # Idempotent relaunch: stamp the output dir; a restarted driver with
+    # the same config+argv recognizes its own checkpoints and resumes
+    # (instead of silently restarting from epoch 0 into a fresh timestamp
+    # dir); foreign checkpoints in the dir are refused, not adopted.
+    owns_run = claim_run(output_dir, run_id_of(config, main_args), main_args)
+    if owns_run:
+        print(f"[run_bounded] relaunch detected: {output_dir} is stamped "
+              f"for this run; resuming", flush=True)
+
     for segment in range(args.max_segments):
         done = run_epochs_done(output_dir)
         if done >= epochs:
             print(f"[run_bounded] complete: {done}/{epochs} epochs saved")
             return 0
-        cmd = [sys.executable, "-u", "main.py", *main_args]
-        resume = newest_checkpoint(output_dir)
-        if resume and segment == 0 and "--resume" not in main_args:
-            # Fresh launch with stale checkpoints around: only resume if
-            # the caller's output dir is dedicated to this run.
-            pass
-        if resume and segment > 0:
-            cmd += ["--resume", resume]
+        cmd = child_argv(main_args, output_dir, segment, owns_run)
         print(f"[run_bounded] segment {segment}: {' '.join(cmd)}",
               flush=True)
         child = subprocess.Popen(cmd)
