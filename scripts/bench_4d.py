@@ -19,6 +19,62 @@ import optax
 B, T = 2, 140
 
 
+def serving(config):
+    """4D serving rows: whole-sequence requests through the Predictor
+    (the serving CLI's 4D mode), bf16 and int8 encoder."""
+    from neurovit_tpu.models import NeuroEncoder
+    from neurovit_tpu.serving import Predictor
+
+    model = NeuroEncoder(config)
+    variables = model.init(jax.random.key(0))
+    req = np.random.RandomState(0).randn(1, 90, 90, 90, T).astype(np.float32)
+    for quant in (None, "int8"):
+        p = Predictor(model, variables, batch_size=2, quant=quant,
+                      bucket_sizes=(1,), host_transfer_dtype="bf16")
+        p.warmup(seq_len=T)
+        p(req)
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            p(req)                          # numpy out = hard sync
+            times.append(time.perf_counter() - t0)
+        ms = sorted(times)[len(times) // 2] * 1e3
+        print(f"4D serving ({quant or 'bf16'} encoder, host-bf16): "
+              f"{ms:.0f} ms / sequence request "
+              f"({T / (ms / 1e3):.1f} volumes/sec incl. host transfer)")
+
+
+def precompute_pipeline(config):
+    """Feature-cache precompute through the DataLoader (threaded host
+    reads + prefetch overlapping device encode) on synthetic sequences."""
+    from neurovit_tpu.models import NeuroEncoder
+    from neurovit_tpu.parallel import create_mesh
+    from neurovit_tpu.training import feature_cache
+
+    model = NeuroEncoder(config)
+    variables = model.init(jax.random.key(0))
+    n = 8
+
+    class _Seqs:
+        def __len__(self):
+            return n
+
+        def sample(self, idx):
+            rng = np.random.RandomState(idx)
+            return {"volume": rng.randn(90, 90, 90, T).astype(np.float32),
+                    "label": idx % 2, "subject": f"s{idx}"}
+
+    mesh = create_mesh(config)
+    t0 = time.perf_counter()
+    view = feature_cache.precompute(model, variables["params"],
+                                    variables["state"], _Seqs(), mesh,
+                                    batch_size=2, num_workers=4)
+    dt = time.perf_counter() - t0
+    assert len(view.feats) == n
+    print(f"precompute via DataLoader: {n / dt:.2f} sequences/sec "
+          f"({dt:.1f}s for {n} x T={T} incl. synth + transfer)")
+
+
 def main():
     from neurovit_tpu.config import load_config
     from neurovit_tpu.models import NeuroEncoder
@@ -26,6 +82,12 @@ def main():
     quant = "--int8" in sys.argv
     config = load_config("configs/config4D.yaml", overrides={
         "KERNEL_IMPL": "pallas", "TRAINING_PRECISION": "bf16"})
+    if "--serving" in sys.argv:
+        serving(config)
+        return
+    if "--precompute" in sys.argv:
+        precompute_pipeline(config)
+        return
     model = NeuroEncoder(config)
     variables = model.init(jax.random.key(0))
     params = variables["params"]

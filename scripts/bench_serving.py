@@ -4,9 +4,16 @@ Device-resident deterministic forward + softmax (the Predictor's compiled
 program, serving.py:53-58) on the flagship model. The training sweet spot
 is batch 128; serving has no optimizer/backward memory so larger batches
 may amortize better — this sweep finds the serving sweet spot.
+
+``--latency [n ...]``: end-to-end REQUEST latency through the real
+Predictor (host numpy in -> probs out, including the host->device
+transfer) for small request sizes, bucketed vs the single-compiled-shape
+round-4 behavior — the measurement behind BENCH.md "serving latency
+buckets". Compose with --int8 / --host-bf16.
 """
 
 import json
+import statistics
 import sys
 import time
 
@@ -18,6 +25,41 @@ import numpy as np
 
 WARMUP = 3
 ITERS = 10
+
+
+def latency(config, argv):
+    """Median end-to-end request latency: bucketed vs single-shape."""
+    from neurovit_tpu.serving import Predictor
+    from neurovit_tpu.models import NeuroEncoder
+
+    quant = "int8" if "--int8" in argv else None
+    host = "bf16" if "--host-bf16" in argv else None
+    sizes = [int(a) for a in argv if not a.startswith("--")] or [1, 2, 8, 32]
+    batch = 128
+
+    model = NeuroEncoder(config)
+    variables = model.init(jax.random.key(0))
+    rng = np.random.RandomState(0)
+    vols = rng.randn(max(sizes), 90, 90, 90).astype(np.float32)
+
+    for label, buckets in (("single-shape (r4)", ()), ("bucketed", None)):
+        p = Predictor(model, variables, batch_size=batch, quant=quant,
+                      host_transfer_dtype=host, bucket_sizes=buckets)
+        p.warmup()
+        for n in sizes:
+            req = vols[:n]
+            p(req)                                   # route warm
+            times = []
+            for _ in range(ITERS):
+                t0 = time.perf_counter()
+                p(req)                               # np out = hard sync
+                times.append(time.perf_counter() - t0)
+            print(json.dumps({
+                "mode": label, "request_n": n, "quant": quant or "bf16",
+                "host_transfer": host or "f32",
+                "buckets": list(p.bucket_sizes),
+                "ms_median": round(statistics.median(times) * 1e3, 2),
+                "ms_min": round(min(times) * 1e3, 2)}))
 
 
 def main():
@@ -33,6 +75,11 @@ def main():
         "TRAINING_PRECISION": "bf16",
         "KERNEL_IMPL": "auto",
     })
+    if "--latency" in sys.argv:
+        sys.argv.remove("--latency")
+        latency(config, sys.argv[1:])
+        return
+
     model = NeuroEncoder(config)
     variables = model.init(jax.random.key(0))
     params, state = variables["params"], variables.get("state")
