@@ -27,6 +27,14 @@ Failed sample reads are cached as ``None`` and skipped by the DataLoader
 exactly like the volume path skips them (loader._fetch) — one difference:
 a transient I/O failure here is frozen for the run instead of retried each
 epoch.
+
+Quant composition (``TRAINING_4D_ENCODER_QUANT: int8`` + this cache): the
+precompute pass calls ``encode_sequence`` with the trainer's model_state,
+which routes through the int8 encoder under
+``model_state["q8_volume_encoder"]`` when present — so the cached features
+ARE the q8-encoder outputs, exactly what the non-cached quant path trains
+on every step (pinned in tests/test_feature_cache_4d.py::
+test_cache_composes_with_int8_encoder_quant).
 """
 
 from __future__ import annotations
@@ -64,12 +72,42 @@ class FeatureView:
     __getitem__ = sample
 
 
-def precompute(model, params, model_state, dataset, mesh) -> FeatureView:
+class _IndexedView:
+    """Dataset wrapper that tags each sample with its index so the batched
+    precompute can place features at the right FeatureView slot (failed
+    reads stay None at their original position)."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def sample(self, idx: int) -> Optional[Dict[str, Any]]:
+        s = self.dataset.sample(idx)
+        if s is None:
+            return None
+        return {"volume": s["volume"], "label": s["label"],
+                "subject": s.get("subject", str(idx)), "cache_index": idx}
+
+    __getitem__ = sample
+
+
+def precompute(model, params, model_state, dataset, mesh, *,
+               batch_size: int = 1, num_workers: int = 8) -> FeatureView:
     """One encoder pass over ``dataset`` -> FeatureView of [T, C] f32
-    encodings. Sequences are encoded one at a time (B=1 fold -> T volumes
-    per call, plenty of MXU work at T~140); a failed ``sample`` read is
-    recorded as None (skip-and-mask downstream, mirroring loader._fetch).
-    """
+    encodings.
+
+    Sequences stream through the standard DataLoader (threaded sample
+    reads + bounded prefetch), so host NIfTI I/O overlaps the device
+    encoder just like the volume trainer's epochs do — at a realistic 4D
+    corpus the precompute pass is device-bound, not read-bound. Pass the
+    trainer's ``batch_size``/``num_workers``; at B sequences per call the
+    encoder folds B*T volumes into one MXU batch. A failed ``sample`` read
+    is recorded as None at its index (skip-and-mask downstream, mirroring
+    loader._fetch). ``model_state`` routing: see the module docstring for
+    the int8-encoder-quant composition."""
+    from neurovit_tpu.data.loader import DataLoader
 
     @jax.jit
     def encode(params, model_state, x):
@@ -77,30 +115,27 @@ def precompute(model, params, model_state, dataset, mesh) -> FeatureView:
         return enc
 
     t0 = time.time()
-    feats: List[Optional[np.ndarray]] = []
-    labels: List[int] = []
-    subjects: List[Any] = []
-    n_failed = 0
-    for i in range(len(dataset)):
-        try:
-            s = dataset.sample(i)
-        except Exception as e:
-            print(f"Feature cache: sample {i} failed ({e}); skip-and-mask")
-            s = None
-        if s is None:
-            feats.append(None)
-            labels.append(0)
-            subjects.append(f"failed-{i}")
-            n_failed += 1
-            continue
+    n = len(dataset)
+    feats: List[Optional[np.ndarray]] = [None] * n
+    labels: List[int] = [0] * n
+    subjects: List[Any] = [f"failed-{i}" for i in range(n)]
+    loader = DataLoader(_IndexedView(dataset), max(1, batch_size),
+                        shuffle=False, num_workers=num_workers)
+    n_ok = 0
+    for batch in loader:
         with jax.set_mesh(mesh):
             enc = encode(params, model_state,
-                         jnp.asarray(s["volume"], jnp.float32)[None])
-        feats.append(np.asarray(enc[0], np.float32))
-        labels.append(int(s["label"]))
-        subjects.append(s.get("subject", str(i)))
-    n_ok = len(feats) - n_failed
+                         jnp.asarray(batch["volume"], jnp.float32))
+        enc = np.asarray(enc, np.float32)
+        for row, ok in enumerate(batch["valid"]):
+            if not ok:                    # tail padding
+                continue
+            idx = batch["cache_index"][row]
+            feats[idx] = enc[row]
+            labels[idx] = int(batch["label"][row])
+            subjects[idx] = batch["subject"][row]
+            n_ok += 1
     print(f"[4D FEATURE CACHE] encoded {n_ok} sequences once "
-          f"({n_failed} failed reads masked) in {time.time() - t0:.1f}s; "
+          f"({n - n_ok} failed reads masked) in {time.time() - t0:.1f}s; "
           f"epochs now train the temporal head on cached features")
     return FeatureView(feats, labels, subjects)

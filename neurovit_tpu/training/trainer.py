@@ -470,9 +470,11 @@ class Trainer:
         state = self.train_state["model_state"]
         views = {
             "train": feature_cache.precompute(
-                self.model, params, state, self.data, self.mesh),
+                self.model, params, state, self.data, self.mesh,
+                batch_size=self.batch_size, num_workers=self.num_workers),
             "val": feature_cache.precompute(
-                self.model, params, state, self.val_data, self.mesh),
+                self.model, params, state, self.val_data, self.mesh,
+                batch_size=self.batch_size, num_workers=self.num_workers),
         }
         self._feature_cache = views
         self._feat_dataloader = DataLoader(
