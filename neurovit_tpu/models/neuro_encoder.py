@@ -61,6 +61,18 @@ class NeuroEncoder:
                 "MESH_DATA_AXIS / MESH_MODEL_AXIS instead")
         impl = resolve_impl(config.get("KERNEL_IMPL", "auto"))
         dropout = config.get("TRAINING_DROPOUT", 0.0)
+        # int8-serving attention A/B (vit3d.ViTConfig.int8_attn): a static
+        # model switch, bound at construction/compile time — NOT a runtime
+        # env toggle (advisor r4: trace-time os.environ reads silently stop
+        # working once a Predictor has compiled). The env var remains a
+        # construction-time default so bench A/Bs keep working.
+        import os
+        int8_attn = str(config.get(
+            "SERVING_INT8_ATTN",
+            os.environ.get("NEUROVIT_INT8_ATTN", "pv"))).lower()
+        if int8_attn not in ("pv", "off"):
+            raise ValueError(f"unknown SERVING_INT8_ATTN {int8_attn!r} "
+                             "(supported: 'pv', 'off')")
 
         self.vit_cfg = vit3d.ViTConfig(
             image_size=grid,
@@ -82,6 +94,7 @@ class NeuroEncoder:
             patch_embed=config.get("MODEL_VIT_PATCH_EMBED", "auto"),
             pipeline_stages=int(config.get("MESH_PIPE_AXIS", 1)),
             pp_microbatches=int(config.get("MESH_PP_MICROBATCHES", 0)),
+            int8_attn=int8_attn,
         )
         self.resnet_cfg = resnet3d.ResNetConfig(
             depth=config.get("MODEL_RESNET_DEPTH", 18),

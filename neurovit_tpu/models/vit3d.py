@@ -65,6 +65,12 @@ class ViTConfig:
     # depth % pipeline_stages == 0 and an ambient mesh with that axis.
     pipeline_stages: int = 1
     pp_microbatches: int = 0   # 0 = auto (2 * stages, halved to divide B)
+    # int8-serving attention PV path: "pv" runs PV on the int8 MXU
+    # (+measured win, BENCH.md "int8 go/no-go"), "off" keeps the bf16 flash
+    # kernel (A/B). Static model config — BOUND AT COMPILE TIME like every
+    # numerics-changing switch (config key SERVING_INT8_ATTN; the
+    # NEUROVIT_INT8_ATTN env var is only read once at model construction).
+    int8_attn: str = "pv"
 
     def __post_init__(self):
         assert self.image_size % self.image_patch_size == 0, \
@@ -300,12 +306,10 @@ def _attention_residual(block: dict, x: jax.Array, cfg: ViTConfig, *,
         if not deterministic:
             raise ValueError("int8-quantized blocks are serving-only "
                              "(deterministic=True)")
-        import os
-
         from neurovit_tpu.ops import int8_serving
         b, n, _ = x.shape
         q, k, v = int8_serving.int8_ln_qkv(block, x, cfg.heads, cfg.dim_head)
-        if os.environ.get("NEUROVIT_INT8_ATTN", "pv") != "off":
+        if cfg.int8_attn != "off":
             # Round 4: PV on the int8 MXU too (QK^T/softmax stay exact —
             # see ops/int8_serving.int8_flash_attention).
             out = int8_serving.int8_flash_attention(
@@ -474,9 +478,17 @@ def apply(params: dict, volume: jax.Array, cfg: ViTConfig, *,
 
         if cfg.remat:
             pp_block_fn = jax.checkpoint(pp_block_fn)
+        from neurovit_tpu.ops.int8_serving import is_quantized
         x = pipeline_blocks(pp_block_fn, params["blocks"], block_rngs, x,
                             n_stages=cfg.pipeline_stages,
-                            n_micro=cfg.pp_microbatches or None)
+                            n_micro=cfg.pp_microbatches or None,
+                            # Pallas kernels in the block (fused bf16 path
+                            # or int8-quantized serving blocks) can't
+                            # satisfy the shard_map vma lint; the plain
+                            # XLA path keeps it (pipeline.py).
+                            contains_pallas=(cfg.impl == "pallas"
+                                             or is_quantized(
+                                                 params["blocks"])))
         probe_act = None
         # Falls through to the shared pad-slice / pool / head tail below.
     else:

@@ -37,7 +37,8 @@ only the probabilities are quantized: P per-row against its row max
 (nonneg, so 0..127), V per-channel — both scale vectors broadcast
 straight into the dequant epilogue with no transpose. The row
 normalizer is summed from the EXACT f32 probabilities before
-quantization. A/B via ``NEUROVIT_INT8_ATTN=off``.
+quantization. A/B via config ``SERVING_INT8_ATTN: off`` (static, bound at model
+construction; the NEUROVIT_INT8_ATTN env var seeds the default).
 
 SERVING-ONLY: forward has no custom VJP; ``models/vit3d.py`` dispatches to
 these kernels when a block carries ``*_q8`` entries and refuses

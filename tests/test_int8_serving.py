@@ -125,19 +125,36 @@ def test_int8_flash_attention_tiny_head_falls_back():
     assert _rel(got, ref) < 1e-2
 
 
-def test_int8_attn_env_off_matches_bf16_path(block, monkeypatch):
-    """NEUROVIT_INT8_ATTN=off A/B: the quantized block's attention falls
-    back to the bf16 flash kernel; both paths stay within int8-GEMM
-    tolerance of each other (only PV quantization differs)."""
+def test_int8_attn_off_matches_bf16_path(block, monkeypatch):
+    """int8_attn='off' A/B (config SERVING_INT8_ATTN, a STATIC model
+    switch bound at construction — advisor r4): the quantized block's
+    attention falls back to the bf16 flash kernel; both paths stay within
+    int8-GEMM tolerance of each other (only PV quantization differs)."""
+    import dataclasses
+
     blk, cfg = block
     qblk = int8_serving.quantize_blocks(blk)
     x = jax.random.normal(jax.random.key(13), (2, 30, DIM))
     y_pv = vit3d._attention_residual(qblk, x, cfg, deterministic=True,
                                      rng=None)
-    monkeypatch.setenv("NEUROVIT_INT8_ATTN", "off")
-    y_bf16 = vit3d._attention_residual(qblk, x, cfg, deterministic=True,
+    cfg_off = dataclasses.replace(cfg, int8_attn="off")
+    y_bf16 = vit3d._attention_residual(qblk, x, cfg_off, deterministic=True,
                                        rng=None)
     assert _rel(y_pv, y_bf16) < 0.02
+
+    # The construction-time plumbing: env var -> NeuroEncoder default;
+    # config key wins over env; bad values rejected.
+    import pytest
+
+    from neurovit_tpu.models import NeuroEncoder
+    base = {"TRAINING_VIT_INPUT_SIZE": 20, "TRAINING_VIT_PATCH_SIZE": 5,
+            "DATASET_NAME": "adni", "TRAINING_DIM": 3}
+    monkeypatch.setenv("NEUROVIT_INT8_ATTN", "off")
+    assert NeuroEncoder(base).vit_cfg.int8_attn == "off"
+    assert NeuroEncoder({**base, "SERVING_INT8_ATTN": "pv"}
+                        ).vit_cfg.int8_attn == "pv"
+    with pytest.raises(ValueError, match="SERVING_INT8_ATTN"):
+        NeuroEncoder({**base, "SERVING_INT8_ATTN": "bogus"})
 
 
 def test_quantized_blocks_refuse_training_and_probe(block):
