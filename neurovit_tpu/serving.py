@@ -180,12 +180,19 @@ class Predictor:
         batch_size chunks stream through; the tail routes to the smallest
         bucket that fits and is padded only within it (padding discarded).
         A request smaller than the smallest bucket pays that bucket's step,
-        not the full-batch step."""
+        not the full-batch step.
+
+        Multi-chunk requests are software-pipelined: JAX dispatch is async,
+        so chunk i+1's host->device transfer is dispatched before chunk i's
+        result is fetched (at most 2 chunks in flight — device memory stays
+        bounded at 2 batches). On a host whose transfer time ~ the device
+        step this overlaps the two; per-chunk results are identical
+        (tests/test_serving.py pins parity against single calls)."""
         volumes = np.asarray(volumes, np.float32)
         n = volumes.shape[0]
         probs_out = np.empty((n, self.model.num_classes), np.float32)
-        start = 0
-        while start < n:
+
+        def dispatch(start: int):
             bucket = self._bucket_for(n - start)
             chunk = volumes[start:start + bucket]
             real = chunk.shape[0]
@@ -204,8 +211,19 @@ class Predictor:
             probs = self._forward(self.variables["params"],
                                   self.variables["state"],
                                   device_chunk)
-            probs_out[start:start + real] = np.asarray(probs)[:real]
-            start += real
+            return start, real, probs
+
+        from collections import deque
+        in_flight: deque = deque()
+        start = 0
+        while start < n or in_flight:
+            if start < n and len(in_flight) < 2:
+                job = dispatch(start)
+                start += job[1]
+                in_flight.append(job)
+                continue
+            s, real, probs = in_flight.popleft()
+            probs_out[s:s + real] = np.asarray(probs)[:real]
         return probs_out.argmax(axis=1), probs_out
 
     def warmup(self, seq_len: Optional[int] = None) -> None:

@@ -94,7 +94,8 @@ class _IndexedView:
 
 
 def precompute(model, params, model_state, dataset, mesh, *,
-               batch_size: int = 1, num_workers: int = 8) -> FeatureView:
+               batch_size: int = 1, num_workers: int = 8,
+               host_bf16: bool = False) -> FeatureView:
     """One encoder pass over ``dataset`` -> FeatureView of [T, C] f32
     encodings.
 
@@ -106,13 +107,26 @@ def precompute(model, params, model_state, dataset, mesh, *,
     encoder folds B*T volumes into one MXU batch. A failed ``sample`` read
     is recorded as None at its index (skip-and-mask downstream, mirroring
     loader._fetch). ``model_state`` routing: see the module docstring for
-    the int8-encoder-quant composition."""
+    the int8-encoder-quant composition.
+
+    ``host_bf16`` (the trainer's TRAINING_HOST_TRANSFER_DTYPE contract):
+    ship each 4D sequence to the device as bfloat16 — bit-exact under bf16
+    compute (the encoder's first device op is the same RNE cast) at half
+    the host->HBM bytes; a 4D sequence is ~408 MB in f32, the largest
+    single transfer in the framework."""
     from neurovit_tpu.data.loader import DataLoader
 
     @jax.jit
     def encode(params, model_state, x):
         enc, _, _ = model.encode_sequence(params, model_state, x)
         return enc
+
+    def ship(vols):
+        if host_bf16:
+            import ml_dtypes
+            return jnp.asarray(np.asarray(vols, np.float32)
+                               .astype(ml_dtypes.bfloat16))
+        return jnp.asarray(vols, jnp.float32)
 
     t0 = time.time()
     n = len(dataset)
@@ -124,8 +138,7 @@ def precompute(model, params, model_state, dataset, mesh, *,
     n_ok = 0
     for batch in loader:
         with jax.set_mesh(mesh):
-            enc = encode(params, model_state,
-                         jnp.asarray(batch["volume"], jnp.float32))
+            enc = encode(params, model_state, ship(batch["volume"]))
         enc = np.asarray(enc, np.float32)
         for row, ok in enumerate(batch["valid"]):
             if not ok:                    # tail padding

@@ -471,10 +471,12 @@ class Trainer:
         views = {
             "train": feature_cache.precompute(
                 self.model, params, state, self.data, self.mesh,
-                batch_size=self.batch_size, num_workers=self.num_workers),
+                batch_size=self.batch_size, num_workers=self.num_workers,
+                host_bf16=self._host_bf16),
             "val": feature_cache.precompute(
                 self.model, params, state, self.val_data, self.mesh,
-                batch_size=self.batch_size, num_workers=self.num_workers),
+                batch_size=self.batch_size, num_workers=self.num_workers,
+                host_bf16=self._host_bf16),
         }
         self._feature_cache = views
         self._feat_dataloader = DataLoader(

@@ -65,14 +65,18 @@ def precompute_pipeline(config):
                     "label": idx % 2, "subject": f"s{idx}"}
 
     mesh = create_mesh(config)
-    t0 = time.perf_counter()
-    view = feature_cache.precompute(model, variables["params"],
-                                    variables["state"], _Seqs(), mesh,
-                                    batch_size=2, num_workers=4)
-    dt = time.perf_counter() - t0
-    assert len(view.feats) == n
-    print(f"precompute via DataLoader: {n / dt:.2f} sequences/sec "
-          f"({dt:.1f}s for {n} x T={T} incl. synth + transfer)")
+    for host_bf16 in (False, True):
+        t0 = time.perf_counter()
+        view = feature_cache.precompute(model, variables["params"],
+                                        variables["state"], _Seqs(), mesh,
+                                        batch_size=2, num_workers=4,
+                                        host_bf16=host_bf16)
+        dt = time.perf_counter() - t0
+        assert len(view.feats) == n
+        print(f"precompute via DataLoader (host "
+              f"{'bf16' if host_bf16 else 'f32'}): {n / dt:.2f} "
+              f"sequences/sec ({dt:.1f}s for {n} x T={T} incl. synth + "
+              f"transfer)")
 
 
 def main():

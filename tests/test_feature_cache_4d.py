@@ -211,6 +211,31 @@ def test_cache_composes_with_int8_encoder_quant(tiny_config):
                            atol=1e-5)
 
 
+def test_precompute_host_bf16_bit_exact(tiny_config):
+    """precompute(host_bf16=True) under bf16 compute ships sequences as
+    bfloat16 at half the bytes and produces BIT-IDENTICAL cached features
+    (the encoder's first device op is the same f32->bf16 RNE cast) — the
+    TRAINING_HOST_TRANSFER_DTYPE contract extended to the precompute pass,
+    whose 4D sequences are the framework's largest single transfers."""
+    from neurovit_tpu.models import NeuroEncoder
+    from neurovit_tpu.parallel import create_mesh
+    from neurovit_tpu.training import feature_cache
+
+    config = _config_4d(tiny_config, TRAINING_PRECISION="bf16")
+    model = NeuroEncoder(config)
+    variables = model.init(jax.random.key(3))
+    mesh = create_mesh(config)
+    ds = Deterministic4D(4)
+    kw = dict(batch_size=2, num_workers=2)
+    view_f32 = feature_cache.precompute(
+        model, variables["params"], variables["state"], ds, mesh, **kw)
+    view_bf16 = feature_cache.precompute(
+        model, variables["params"], variables["state"], ds, mesh,
+        host_bf16=True, **kw)
+    for a, b in zip(view_f32.feats, view_bf16.feats):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_feature_cache_off_for_3d(tiny_config):
     """The flag is inert outside 4D mode."""
     config = dict(tiny_config, TRAINING_4D_FEATURE_CACHE=True)
