@@ -28,6 +28,13 @@ exactly like the volume path skips them (loader._fetch) — one difference:
 a transient I/O failure here is frozen for the run instead of retried each
 epoch.
 
+Persistence (``TRAINING_4D_FEATURE_CACHE_DIR``, opt-in): the cached views
+can be written to disk keyed by a (frozen-encoder params, quant mode,
+dataset size) fingerprint — a restarted process (e.g. a run_bounded
+segment recycle) reloads them instead of re-encoding the corpus. See
+``fingerprint``/``save_view``/``load_view`` and the Trainer's
+``_ensure_feature_cache``.
+
 Quant composition (``TRAINING_4D_ENCODER_QUANT: int8`` + this cache): the
 precompute pass calls ``encode_sequence`` with the trainer's model_state,
 which routes through the int8 encoder under
@@ -70,6 +77,66 @@ class FeatureView:
                 "subject": self.subjects[idx]}
 
     __getitem__ = sample
+
+
+def fingerprint(encoder_params, quant4d: bool, n_samples: int) -> str:
+    """Cache key for a persisted FeatureView: the cached features are a
+    pure function of (frozen encoder params, quant mode, dataset) — the
+    q8 encoder derives deterministically from the bf16 params, so the
+    quant flag plus the params identify it. Params are reduced on-device
+    to one per-leaf f32-sum vector (a single small fetch instead of
+    shipping ~350 MB of flagship weights back through the host link) and
+    hashed together with every leaf's shape/dtype and the dataset size."""
+    import hashlib
+
+    leaves = jax.tree.leaves(encoder_params)
+
+    @jax.jit
+    def sums(ls):
+        return jnp.stack([jnp.sum(l.astype(jnp.float32)) for l in ls])
+
+    h = hashlib.sha256()
+    h.update(np.asarray(sums(leaves), np.float32).tobytes())
+    for leaf in leaves:
+        h.update(str((leaf.shape, str(leaf.dtype))).encode())
+    h.update(f"quant={bool(quant4d)};n={int(n_samples)}".encode())
+    return h.hexdigest()[:16]
+
+
+def save_view(path: str, view: FeatureView, fp: str) -> None:
+    """Persist a FeatureView (npz, no pickle): failed-read slots keep
+    their None positions via the ok mask; subjects are stored as
+    strings."""
+    ok = np.array([f is not None for f in view.feats], np.bool_)
+    feats = (np.stack([f for f in view.feats if f is not None])
+             if ok.any() else np.zeros((0, 1, 1), np.float32))
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, fp=np.array(fp), ok=ok, feats=feats,
+             labels=np.asarray(view.labels, np.int64),
+             subjects=np.asarray([str(s) for s in view.subjects]))
+    import os
+    os.replace(tmp, path)
+
+
+def load_view(path: str, fp: str) -> Optional[FeatureView]:
+    """Load a persisted FeatureView; None when the file is absent or was
+    written for a different (params, quant, dataset) fingerprint."""
+    import os
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        if str(z["fp"]) != fp:
+            return None
+        ok = z["ok"]
+        stacked = z["feats"]
+        labels = [int(v) for v in z["labels"]]
+        subjects = [str(s) for s in z["subjects"]]
+    feats: List[Optional[np.ndarray]] = []
+    j = 0
+    for is_ok in ok:
+        feats.append(stacked[j] if is_ok else None)
+        j += int(is_ok)
+    return FeatureView(feats, labels, subjects)
 
 
 class _IndexedView:

@@ -462,22 +462,50 @@ class Trainer:
         (TRAINING_4D_FEATURE_CACHE). On a multi-process mesh every host
         encodes the full dataset (duplicate but tiny: the cache is ~1 KB
         per sample) and the cached loaders shard identically to the volume
-        loaders."""
+        loaders.
+
+        TRAINING_4D_FEATURE_CACHE_DIR (opt-in) persists the views to disk
+        keyed by a (frozen-encoder params, quant mode, dataset size)
+        fingerprint, so a restarted process — e.g. a run_bounded segment
+        recycle mid-run — skips the precompute pass entirely (the pass is
+        one full-forward epoch over the corpus; at T=140 each sequence is
+        a ~200-400 MB host transfer). A mismatched fingerprint (different
+        checkpoint, quant flag, or corpus) ignores the file and rebuilds.
+        Multi-process: every host writes the same bytes via tmp+rename;
+        last writer wins harmlessly."""
         if not self._use_feature_cache or self._feature_cache is not None:
             return
+        import os
+
         from neurovit_tpu.training import feature_cache
         params = self.train_state["params"]
         state = self.train_state["model_state"]
-        views = {
-            "train": feature_cache.precompute(
-                self.model, params, state, self.data, self.mesh,
+        cache_dir = self.config.get("TRAINING_4D_FEATURE_CACHE_DIR")
+        datasets = {"train": self.data, "val": self.val_data}
+        fps, views = {}, {}
+        for split, ds in datasets.items():
+            if not cache_dir:
+                continue
+            os.makedirs(cache_dir, exist_ok=True)
+            fps[split] = feature_cache.fingerprint(
+                params["volume_encoder"], self._quant4d, len(ds))
+            view = feature_cache.load_view(
+                os.path.join(cache_dir, f"feats_{split}.npz"), fps[split])
+            if view is not None:
+                print(f"[4D FEATURE CACHE] loaded persisted {split} cache "
+                      f"({len(view)} sequences, fingerprint {fps[split]})")
+                views[split] = view
+        for split, ds in datasets.items():
+            if split in views:
+                continue
+            views[split] = feature_cache.precompute(
+                self.model, params, state, ds, self.mesh,
                 batch_size=self.batch_size, num_workers=self.num_workers,
-                host_bf16=self._host_bf16),
-            "val": feature_cache.precompute(
-                self.model, params, state, self.val_data, self.mesh,
-                batch_size=self.batch_size, num_workers=self.num_workers,
-                host_bf16=self._host_bf16),
-        }
+                host_bf16=self._host_bf16)
+            if cache_dir:
+                feature_cache.save_view(
+                    os.path.join(cache_dir, f"feats_{split}.npz"),
+                    views[split], fps[split])
         self._feature_cache = views
         self._feat_dataloader = DataLoader(
             views["train"], self.batch_size, shuffle=True,

@@ -236,6 +236,87 @@ def test_precompute_host_bf16_bit_exact(tiny_config):
         np.testing.assert_array_equal(a, b)
 
 
+def test_persisted_cache_roundtrip_and_fingerprint(tiny_config, tmp_path):
+    """save_view/load_view roundtrip (incl. a None failed-read slot) and
+    fingerprint discrimination: different params or quant flag -> miss."""
+    from neurovit_tpu.models import NeuroEncoder
+    from neurovit_tpu.parallel import create_mesh
+    from neurovit_tpu.training import feature_cache
+
+    config = _config_4d(tiny_config)
+    model = NeuroEncoder(config)
+    variables = model.init(jax.random.key(0))
+    mesh = create_mesh(config)
+    ds = Deterministic4D(5, fail_idx=2)
+    view = feature_cache.precompute(model, variables["params"],
+                                    variables["state"], ds, mesh,
+                                    batch_size=2, num_workers=2)
+    fp = feature_cache.fingerprint(variables["params"]["volume_encoder"],
+                                   False, len(ds))
+    path = str(tmp_path / "feats_train.npz")
+    feature_cache.save_view(path, view, fp)
+    loaded = feature_cache.load_view(path, fp)
+    assert loaded is not None
+    assert loaded.feats[2] is None
+    for a, b in zip(view.feats, loaded.feats):
+        if a is None:
+            assert b is None
+        else:
+            np.testing.assert_array_equal(a, b)
+    assert loaded.labels == view.labels
+    assert loaded.subjects == [str(s) for s in view.subjects]
+
+    # Fingerprint misses: other params, quant flag, dataset size, no file.
+    other = model.init(jax.random.key(1))
+    fp_other = feature_cache.fingerprint(
+        other["params"]["volume_encoder"], False, len(ds))
+    assert fp_other != fp
+    assert feature_cache.load_view(path, fp_other) is None
+    assert feature_cache.fingerprint(
+        variables["params"]["volume_encoder"], True, len(ds)) != fp
+    assert feature_cache.fingerprint(
+        variables["params"]["volume_encoder"], False, len(ds) + 1) != fp
+    assert feature_cache.load_view(str(tmp_path / "nope.npz"), fp) is None
+
+
+def test_persisted_cache_skips_reencode_across_trainers(tiny_config,
+                                                        tmp_path):
+    """TRAINING_4D_FEATURE_CACHE_DIR: a second trainer (a restarted
+    process, e.g. a run_bounded segment) loads the persisted cache
+    instead of re-encoding — and trains to the identical losses."""
+
+    class CountingDS(Deterministic4D):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.reads = 0
+
+        def sample(self, idx):
+            self.reads += 1
+            return super().sample(idx)
+
+    config = _config_4d(tiny_config, TRAINING_4D_FEATURE_CACHE=True,
+                        TRAINING_4D_FEATURE_CACHE_DIR=str(tmp_path / "fc"))
+    model = NeuroEncoder(config)
+
+    ds1, dv1 = CountingDS(8), CountingDS(4, seed=1)
+    t1 = Trainer(config, model, ds1, dv1)
+    t1.train(0)
+    t1.validate(0)
+    assert ds1.reads >= 8                    # precompute read the corpus
+
+    ds2, dv2 = CountingDS(8), CountingDS(4, seed=1)
+    t2 = Trainer(config, model, ds2, dv2)
+    t2.train(0)
+    t2.validate(0)
+    assert ds2.reads == 0                    # loaded from disk, no reads
+    assert dv2.reads == 0
+    np.testing.assert_allclose(t2.val_loss, t1.val_loss, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(t1.train_state["params"]),
+                    jax.tree.leaves(t2.train_state["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=0)
+
+
 def test_feature_cache_off_for_3d(tiny_config):
     """The flag is inert outside 4D mode."""
     config = dict(tiny_config, TRAINING_4D_FEATURE_CACHE=True)
