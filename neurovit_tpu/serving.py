@@ -290,6 +290,34 @@ def _collect_volume_jobs(inputs, crop: bool, sequence: bool = False):
             yield path, t, vol
 
 
+def _prefetch_jobs(jobs, depth: int):
+    """Run a (path, t, volume) generator on a producer thread with a
+    bounded queue (``depth`` volumes), overlapping NIfTI reads/decompression
+    with prediction — the CLI analog of the training DataLoader's prefetch.
+    Producer exceptions (unreadable files) re-raise on the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+
+    def produce():
+        try:
+            for item in jobs:
+                q.put(item)
+            q.put(None)
+        except BaseException as e:        # surface to the consumer
+            q.put(e)
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def main(argv=None) -> None:
     """``python -m neurovit_tpu.serving``: batch inference over NIfTI files.
 
@@ -377,9 +405,13 @@ def main(argv=None) -> None:
         chunk_vols.clear()
 
     with open(args.output, "w", newline="") as f:
-        for path, t, vol in _collect_volume_jobs(args.inputs,
-                                                 crop=not args.no_crop,
-                                                 sequence=sequence):
+        jobs = _collect_volume_jobs(args.inputs, crop=not args.no_crop,
+                                    sequence=sequence)
+        # Reads overlap prediction (producer thread, bounded at one batch
+        # of volumes beyond the chunk being assembled; sequences are big —
+        # keep only 2 in flight).
+        for path, t, vol in _prefetch_jobs(
+                jobs, depth=2 if sequence else args.batch_size):
             if chunk_vols and vol.shape != chunk_vols[0].shape:
                 flush(f)          # new T (or spatial shape): its own batch
             chunk_meta.append((path, t))

@@ -128,6 +128,29 @@ def test_predictor_4d(tiny_config, tmp_path):
     np.testing.assert_allclose(probs_q, probs, atol=0.05)
 
 
+def test_prefetch_jobs_yields_all_and_propagates_errors():
+    """The CLI's read-prefetch thread preserves order/content and
+    re-raises producer exceptions (unreadable files) on the consumer."""
+    import pytest
+
+    from neurovit_tpu.serving import _prefetch_jobs
+
+    items = [("p", t, np.full((2, 2, 2), t, np.float32)) for t in range(7)]
+    out = list(_prefetch_jobs(iter(items), depth=2))
+    assert [t for _, t, _ in out] == list(range(7))
+    for (_, _, a), (_, _, b) in zip(items, out):
+        np.testing.assert_array_equal(a, b)
+
+    def broken():
+        yield items[0]
+        raise OSError("unreadable nifti")
+
+    gen = _prefetch_jobs(broken(), depth=2)
+    assert next(gen)[1] == 0
+    with pytest.raises(OSError, match="unreadable nifti"):
+        list(gen)
+
+
 def test_serving_cli_4d_sequences(tiny_config, tmp_path):
     """python -m neurovit_tpu.serving with a 4D checkpoint: whole-sequence
     mode — one CSV row per file (timepoint -1), probabilities matching the
