@@ -28,8 +28,12 @@ from neurovit_tpu.models.neuro_encoder import NeuroEncoder
 # a full-batch host->device transfer (~128x the necessary compute at the
 # CLI default; measured latency table in BENCH.md "serving latency
 # buckets"). The reference's own inference surface is batch-size-1
-# (src/Trainer.py:141) — small requests are the common case.
-DEFAULT_BUCKETS = (1, 8, 32)
+# (src/Trainer.py:141) — small requests are the common case. Powers of two
+# bound the within-bucket padding waste at 2x for ANY request size (the
+# first measured default {1,8,32} made an n=2 request ship 8 volumes —
+# 3x a dedicated bucket's latency on a transfer-bound link). Only buckets
+# a workload actually touches ever compile; warmup() precompiles all.
+DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
 
 class Predictor:
@@ -346,7 +350,8 @@ def main(argv=None) -> None:
                              "within ~2%% of peak at half the latency)")
     parser.add_argument("--buckets", default=None,
                         help="comma-separated latency buckets below "
-                             "--batch-size (default '1,8,32'): a small "
+                             "--batch-size (default '1,2,4,...,64' powers "
+                             "of two): a small "
                              "request or the final tail pays the smallest "
                              "fitting bucket's step instead of the full "
                              "batch; '' disables (single compiled shape)")
