@@ -345,9 +345,11 @@ def main(argv=None) -> None:
                         help="state-dict pickle / torch .pth "
                              "(default: BEST_MODEL_PATH)")
     parser.add_argument("--output", default="predictions.csv")
-    parser.add_argument("--batch-size", type=int, default=128,
-                        help="compiled batch (sweep in BENCH.md: 128 is "
-                             "within ~2%% of peak at half the latency)")
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="compiled batch (default 128 for 3D — BENCH.md "
+                             "sweep: within ~2%% of peak at half the "
+                             "latency; 2 for 4D checkpoints, whose "
+                             "sequences are ~200-400 MB each on the host)")
     parser.add_argument("--buckets", default=None,
                         help="comma-separated latency buckets below "
                              "--batch-size (default '1,2,4,...,64' powers "
@@ -376,8 +378,14 @@ def main(argv=None) -> None:
     buckets = (() if args.buckets == "" else
                None if args.buckets is None else
                tuple(int(b) for b in args.buckets.split(",")))
+    # 4D checkpoints default to a small compiled batch: each [H,W,D,T]
+    # sequence is ~200-400 MB on the host, so the 3D default of 128 would
+    # accumulate tens of GB per chunk (an explicit --batch-size wins).
+    is_4d = int(config.get("TRAINING_DIM", 3)) == 4
+    batch_size = (args.batch_size if args.batch_size is not None
+                  else (2 if is_4d else 128))
     predictor = Predictor.from_checkpoint(
-        config, ckpt_path, batch_size=args.batch_size, quant=args.quant,
+        config, ckpt_path, batch_size=batch_size, quant=args.quant,
         host_transfer_dtype="bf16" if args.host_bf16 else None,
         bucket_sizes=buckets)
 
@@ -416,12 +424,12 @@ def main(argv=None) -> None:
         # of volumes beyond the chunk being assembled; sequences are big —
         # keep only 2 in flight).
         for path, t, vol in _prefetch_jobs(
-                jobs, depth=2 if sequence else args.batch_size):
+                jobs, depth=2 if sequence else batch_size):
             if chunk_vols and vol.shape != chunk_vols[0].shape:
                 flush(f)          # new T (or spatial shape): its own batch
             chunk_meta.append((path, t))
             chunk_vols.append(vol)
-            if len(chunk_vols) == args.batch_size:
+            if len(chunk_vols) == batch_size:
                 flush(f)
         flush(f)
     if n_rows == 0:
