@@ -65,14 +65,23 @@ class NeuroEncoder:
         # model switch, bound at construction/compile time — NOT a runtime
         # env toggle (advisor r4: trace-time os.environ reads silently stop
         # working once a Predictor has compiled). The env var remains a
-        # construction-time default so bench A/Bs keep working.
+        # construction-time default so bench A/Bs keep working, with its
+        # historical permissive semantics (anything but 'off' means 'pv' —
+        # a stray legacy value must not abort training runs that never
+        # touch int8 serving). YAML parses bare off/on as booleans, so the
+        # documented `SERVING_INT8_ATTN: off` arrives here as False.
         import os
-        int8_attn = str(config.get(
-            "SERVING_INT8_ATTN",
-            os.environ.get("NEUROVIT_INT8_ATTN", "pv"))).lower()
-        if int8_attn not in ("pv", "off"):
-            raise ValueError(f"unknown SERVING_INT8_ATTN {int8_attn!r} "
-                             "(supported: 'pv', 'off')")
+        raw = config.get("SERVING_INT8_ATTN")
+        if raw is None:
+            env = os.environ.get("NEUROVIT_INT8_ATTN", "pv")
+            int8_attn = "off" if str(env).lower() == "off" else "pv"
+        elif isinstance(raw, bool):
+            int8_attn = "pv" if raw else "off"
+        else:
+            int8_attn = str(raw).lower()
+            if int8_attn not in ("pv", "off"):
+                raise ValueError(f"unknown SERVING_INT8_ATTN {int8_attn!r} "
+                                 "(supported: 'pv', 'off')")
 
         self.vit_cfg = vit3d.ViTConfig(
             image_size=grid,

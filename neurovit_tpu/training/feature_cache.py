@@ -79,14 +79,41 @@ class FeatureView:
     __getitem__ = sample
 
 
-def fingerprint(encoder_params, quant4d: bool, n_samples: int) -> str:
+def dataset_identity(dataset) -> str:
+    """Best-available identity of a dataset for the persisted-cache key.
+
+    Length alone is NOT enough — a different corpus of the same size must
+    not silently reuse stale features. The shipped 4D datasets expose
+    their row index as ``.data`` (adni4d: pickled CSV rows incl. fMRI
+    paths) and their index path as ``.dataset_path``; both are hashed in.
+    Custom datasets can expose a ``cache_identity`` attribute (string) to
+    participate; otherwise the identity degrades to (type, len) and the
+    docstring's warning applies."""
+    import hashlib
+
+    ident = getattr(dataset, "cache_identity", None)
+    if ident is not None:
+        return f"custom:{ident}"
+    parts = [type(dataset).__name__, f"n={len(dataset)}"]
+    rows = getattr(dataset, "data", None)
+    if rows is not None:
+        parts.append("rows=" + hashlib.sha256(
+            str(rows).encode()).hexdigest()[:16])
+    path = getattr(dataset, "dataset_path", None)
+    if path is not None:
+        parts.append(f"path={path}")
+    return ";".join(parts)
+
+
+def fingerprint(encoder_params, quant4d: bool, dataset) -> str:
     """Cache key for a persisted FeatureView: the cached features are a
     pure function of (frozen encoder params, quant mode, dataset) — the
     q8 encoder derives deterministically from the bf16 params, so the
     quant flag plus the params identify it. Params are reduced on-device
     to one per-leaf f32-sum vector (a single small fetch instead of
     shipping ~350 MB of flagship weights back through the host link) and
-    hashed together with every leaf's shape/dtype and the dataset size."""
+    hashed together with every leaf's shape/dtype, the dataset identity
+    (see :func:`dataset_identity`), and the quant mode."""
     import hashlib
 
     leaves = jax.tree.leaves(encoder_params)
@@ -99,38 +126,49 @@ def fingerprint(encoder_params, quant4d: bool, n_samples: int) -> str:
     h.update(np.asarray(sums(leaves), np.float32).tobytes())
     for leaf in leaves:
         h.update(str((leaf.shape, str(leaf.dtype))).encode())
-    h.update(f"quant={bool(quant4d)};n={int(n_samples)}".encode())
+    h.update(f"quant={bool(quant4d)};ds={dataset_identity(dataset)}"
+             .encode())
     return h.hexdigest()[:16]
 
 
 def save_view(path: str, view: FeatureView, fp: str) -> None:
     """Persist a FeatureView (npz, no pickle): failed-read slots keep
     their None positions via the ok mask; subjects are stored as
-    strings."""
+    strings. The tmp name is per-process so concurrent writers on a
+    shared filesystem (multi-host meshes — every host computes identical
+    bytes) never truncate each other; the final rename is atomic and
+    last-writer-wins is harmless."""
+    import os
+
     ok = np.array([f is not None for f in view.feats], np.bool_)
     feats = (np.stack([f for f in view.feats if f is not None])
              if ok.any() else np.zeros((0, 1, 1), np.float32))
-    tmp = path + ".tmp.npz"
+    tmp = f"{path}.tmp.{os.getpid()}.npz"
     np.savez(tmp, fp=np.array(fp), ok=ok, feats=feats,
              labels=np.asarray(view.labels, np.int64),
              subjects=np.asarray([str(s) for s in view.subjects]))
-    import os
     os.replace(tmp, path)
 
 
 def load_view(path: str, fp: str) -> Optional[FeatureView]:
-    """Load a persisted FeatureView; None when the file is absent or was
-    written for a different (params, quant, dataset) fingerprint."""
+    """Load a persisted FeatureView; None when the file is absent,
+    unreadable/torn (rebuild instead of crashing a restarted run), or
+    was written for a different (params, quant, dataset) fingerprint."""
     import os
     if not os.path.exists(path):
         return None
-    with np.load(path) as z:
-        if str(z["fp"]) != fp:
-            return None
-        ok = z["ok"]
-        stacked = z["feats"]
-        labels = [int(v) for v in z["labels"]]
-        subjects = [str(s) for s in z["subjects"]]
+    try:
+        with np.load(path) as z:
+            if str(z["fp"]) != fp:
+                return None
+            ok = z["ok"]
+            stacked = z["feats"]
+            labels = [int(v) for v in z["labels"]]
+            subjects = [str(s) for s in z["subjects"]]
+    except Exception as e:
+        print(f"[4D FEATURE CACHE] ignoring unreadable cache {path} "
+              f"({type(e).__name__}: {e}); re-encoding")
+        return None
     feats: List[Optional[np.ndarray]] = []
     j = 0
     for is_ok in ok:

@@ -488,7 +488,7 @@ class Trainer:
                 continue
             os.makedirs(cache_dir, exist_ok=True)
             fps[split] = feature_cache.fingerprint(
-                params["volume_encoder"], self._quant4d, len(ds))
+                params["volume_encoder"], self._quant4d, ds)
             view = feature_cache.load_view(
                 os.path.join(cache_dir, f"feats_{split}.npz"), fps[split])
             if view is not None:

@@ -117,11 +117,13 @@ def child_argv(main_args, output_dir: str, segment: int,
                owns_run: bool) -> list:
     """argv for the next training segment: resume from the newest
     checkpoint on any later segment, and on segment 0 of a RESTARTED
-    driver (``owns_run``) — the idempotent relaunch path. An explicit
-    --resume passed by the caller wins."""
+    driver (``owns_run``) — the idempotent relaunch path. A caller
+    --resume governs only the FIRST segment of a fresh run (its seed
+    checkpoint); once this run has its own saves, the newest one is
+    appended last — argparse last-wins — so later segments never re-run
+    from the stale seed (which would loop the same epochs until
+    max_segments)."""
     cmd = [sys.executable, "-u", "main.py", *main_args]
-    if "--resume" in main_args:
-        return cmd
     resume = newest_checkpoint(output_dir)
     if resume and (segment > 0 or owns_run):
         cmd += ["--resume", resume]

@@ -252,7 +252,7 @@ def test_persisted_cache_roundtrip_and_fingerprint(tiny_config, tmp_path):
                                     variables["state"], ds, mesh,
                                     batch_size=2, num_workers=2)
     fp = feature_cache.fingerprint(variables["params"]["volume_encoder"],
-                                   False, len(ds))
+                                   False, ds)
     path = str(tmp_path / "feats_train.npz")
     feature_cache.save_view(path, view, fp)
     loaded = feature_cache.load_view(path, fp)
@@ -266,17 +266,37 @@ def test_persisted_cache_roundtrip_and_fingerprint(tiny_config, tmp_path):
     assert loaded.labels == view.labels
     assert loaded.subjects == [str(s) for s in view.subjects]
 
-    # Fingerprint misses: other params, quant flag, dataset size, no file.
+    # Fingerprint misses: other params, quant flag, other dataset (same
+    # SIZE but different identity — the stale-corpus hazard), no file.
     other = model.init(jax.random.key(1))
     fp_other = feature_cache.fingerprint(
-        other["params"]["volume_encoder"], False, len(ds))
+        other["params"]["volume_encoder"], False, ds)
     assert fp_other != fp
     assert feature_cache.load_view(path, fp_other) is None
     assert feature_cache.fingerprint(
-        variables["params"]["volume_encoder"], True, len(ds)) != fp
+        variables["params"]["volume_encoder"], True, ds) != fp
+
+    class OtherCorpus(Deterministic4D):
+        """Same length, different identity."""
+        cache_identity = "corpus-v2"
+
     assert feature_cache.fingerprint(
-        variables["params"]["volume_encoder"], False, len(ds) + 1) != fp
+        variables["params"]["volume_encoder"], False,
+        OtherCorpus(5, fail_idx=2)) != fp
+    # The shipped datasets are identified by their row index (.data):
+    # same length, different rows -> different key.
+    ds_a, ds_b = Deterministic4D(5), Deterministic4D(5)
+    ds_a.data = [("s1", "/p/a.nii")]
+    ds_b.data = [("s1", "/p/b.nii")]
+    assert (feature_cache.dataset_identity(ds_a)
+            != feature_cache.dataset_identity(ds_b))
     assert feature_cache.load_view(str(tmp_path / "nope.npz"), fp) is None
+
+    # A torn/corrupt cache file is ignored (rebuild), not a crash.
+    corrupt = str(tmp_path / "corrupt.npz")
+    with open(corrupt, "wb") as f:
+        f.write(b"not a zip")
+    assert feature_cache.load_view(corrupt, fp) is None
 
 
 def test_persisted_cache_skips_reencode_across_trainers(tiny_config,

@@ -155,6 +155,16 @@ def test_int8_attn_off_matches_bf16_path(block, monkeypatch):
                         ).vit_cfg.int8_attn == "pv"
     with pytest.raises(ValueError, match="SERVING_INT8_ATTN"):
         NeuroEncoder({**base, "SERVING_INT8_ATTN": "bogus"})
+    # YAML parses bare off/on as booleans — the documented
+    # `SERVING_INT8_ATTN: off` must work, not crash model construction.
+    assert NeuroEncoder({**base, "SERVING_INT8_ATTN": False}
+                        ).vit_cfg.int8_attn == "off"
+    assert NeuroEncoder({**base, "SERVING_INT8_ATTN": True}
+                        ).vit_cfg.int8_attn == "pv"
+    # A stray legacy env value keeps the historical permissive semantics
+    # (anything but 'off' == 'pv') instead of aborting every model build.
+    monkeypatch.setenv("NEUROVIT_INT8_ATTN", "1")
+    assert NeuroEncoder(base).vit_cfg.int8_attn == "pv"
 
 
 def test_quantized_blocks_refuse_training_and_probe(block):

@@ -75,11 +75,17 @@ def test_driver_restart_resumes_its_own_run(tmp_path):
     cmd = child_argv(argv, out, segment=1, owns_run=False)
     assert cmd[cmd.index("--resume") + 1] == e1
 
-    # A caller-supplied --resume wins; the driver must not add a second.
-    argv_r = argv + ["--resume", "explicit"]
-    cmd = child_argv(argv_r, out, segment=0, owns_run=True)
-    assert cmd.count("--resume") == 1
-    assert cmd[cmd.index("--resume") + 1] == "explicit"
+    # A caller-supplied --resume is the SEED: it governs segment 0 of a
+    # fresh run only. Once this run has its own newer save, the driver
+    # appends it last (argparse last-wins), so later segments never loop
+    # from the stale seed checkpoint.
+    argv_r = argv + ["--resume", "seed-ckpt"]
+    fresh_out = str(tmp_path / "fresh")
+    cmd = child_argv(argv_r, fresh_out, segment=0, owns_run=False)
+    assert cmd.count("--resume") == 1          # no saves yet: seed governs
+    assert cmd[cmd.index("--resume") + 1] == "seed-ckpt"
+    cmd = child_argv(argv_r, out, segment=1, owns_run=False)
+    assert cmd[-2:] == ["--resume", e1]        # newest save appended last
 
 
 def test_claim_run_refuses_foreign_dirs(tmp_path):
