@@ -183,8 +183,10 @@ def test_serving_cli_4d_sequences(tiny_config, tmp_path):
         yaml.dump({k: v for k, v in config.items()
                    if not k.startswith("_")}, f)
     out = str(tmp_path / "preds4d.csv")
+    # No --batch-size: the CLI must resolve the 4D default (2 — sequences
+    # are host-memory-heavy), not the 3D default of 128.
     serving_main([str(vols), "--config", cfg_path, "--checkpoint", ckpt,
-                  "--output", out, "--batch-size", "2"])
+                  "--output", out])
 
     with open(out) as f:
         rows = list(csv.reader(f))
