@@ -368,6 +368,13 @@ def main(argv=None) -> None:
                         help="ship volumes to the device as bfloat16 "
                              "(bit-exact under bf16 compute; halves "
                              "host->HBM transfer bytes)")
+    parser.add_argument("--mesh", action="store_true",
+                        help="serve over the config's device mesh "
+                             "(MESH_DATA_AXIS / MESH_MODEL_AXIS / "
+                             "MESH_PIPE_AXIS, same keys the trainer uses): "
+                             "batch shards over the data axis, TP/pipe "
+                             "axes split the ViT block weights — "
+                             "multi-chip serving from the CLI")
     args = parser.parse_args(argv)
 
     config = load_config(args.config)
@@ -384,10 +391,15 @@ def main(argv=None) -> None:
     is_4d = int(config.get("TRAINING_DIM", 3)) == 4
     batch_size = (args.batch_size if args.batch_size is not None
                   else (2 if is_4d else 128))
+    mesh = None
+    if args.mesh:
+        from neurovit_tpu.parallel import create_mesh
+        mesh = create_mesh(config)
+        print(f"Serving over mesh {dict(mesh.shape)}")
     predictor = Predictor.from_checkpoint(
         config, ckpt_path, batch_size=batch_size, quant=args.quant,
         host_transfer_dtype="bf16" if args.host_bf16 else None,
-        bucket_sizes=buckets)
+        bucket_sizes=buckets, mesh=mesh)
 
     # Stream compiled-batch-sized chunks through the predictor: memory
     # stays bounded at batch_size volumes regardless of manifest length

@@ -128,6 +128,50 @@ def test_predictor_4d(tiny_config, tmp_path):
     np.testing.assert_allclose(probs_q, probs, atol=0.05)
 
 
+def test_serving_cli_mesh_matches_single_device(tiny_config, tmp_path):
+    """--mesh: the CLI serves over the config's device mesh (the 8-device
+    virtual CPU mesh here, dp=8) and writes the same predictions as the
+    single-device CLI."""
+    import csv
+    import yaml
+
+    from neurovit_tpu.data import nifti
+    from neurovit_tpu.serving import main as serving_main
+
+    model = NeuroEncoder(tiny_config)
+    variables = model.init(jax.random.key(21))
+    ckpt = str(tmp_path / "best.pkl")
+    sd.save(ckpt, sd.to_state_dict(model, variables["params"]))
+
+    vols = tmp_path / "vols"
+    vols.mkdir()
+    rng = np.random.RandomState(6)
+    for i in range(3):
+        nifti.save(str(vols / f"v{i}.nii"),
+                   rng.randn(21, 39, 21).astype(np.float32))
+
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump({k: v for k, v in tiny_config.items()
+                   if not k.startswith("_")}, f)
+
+    def run(extra, name):
+        out = str(tmp_path / name)
+        serving_main([str(vols), "--config", cfg_path, "--checkpoint", ckpt,
+                      "--output", out, "--batch-size", "8"] + extra)
+        with open(out) as f:
+            return list(csv.reader(f))
+
+    rows_mesh = run(["--mesh"], "mesh.csv")
+    rows_one = run([], "one.csv")
+    assert len(rows_mesh) == len(rows_one) == 4
+    assert rows_mesh[0] == rows_one[0]                 # header
+    for a, b in zip(rows_mesh[1:], rows_one[1:]):
+        assert a[:3] == b[:3]
+        for va, vb in zip(a[3:], b[3:]):
+            assert abs(float(va) - float(vb)) < 1e-4
+
+
 def test_prefetch_jobs_yields_all_and_propagates_errors():
     """The CLI's read-prefetch thread preserves order/content and
     re-raises producer exceptions (unreadable files) on the consumer."""
