@@ -58,6 +58,7 @@ class Predictor:
         self.variables = variables
         self.batch_size = batch_size
         self.mesh = mesh
+        explicit_buckets = bucket_sizes is not None
         if bucket_sizes is None:
             bucket_sizes = DEFAULT_BUCKETS
         buckets = {int(b) for b in bucket_sizes if 0 < int(b) < batch_size}
@@ -67,8 +68,18 @@ class Predictor:
             dp = mesh.shape[DATA_AXIS]
             # Every compiled shape must shard over the data axis; buckets
             # that don't divide are dropped (batch_size itself is checked
-            # below and raises).
+            # below and raises). Silently thinning the DEFAULT set is fine
+            # (it is dense enough that dp-multiples remain), but dropping
+            # buckets the caller asked for by name would silently void the
+            # latency contract — warn with the surviving set.
+            dropped = sorted(b for b in buckets if b % dp != 0)
             buckets = {b for b in buckets if b % dp == 0} | {batch_size}
+            if explicit_buckets and dropped:
+                import warnings
+                warnings.warn(
+                    f"bucket_sizes {dropped} dropped: not multiples of the "
+                    f"mesh data axis ({dp}); serving with "
+                    f"{tuple(sorted(buckets))}", stacklevel=2)
         self.bucket_sizes = tuple(sorted(buckets))
         # host_transfer_dtype="bf16": ship request volumes as bfloat16 —
         # bit-exact under bf16 compute (the model's first device op is
@@ -322,6 +333,25 @@ def _prefetch_jobs(jobs, depth: int):
         yield item
 
 
+def _default_batch_size(is_4d: bool, mesh=None) -> int:
+    """CLI default compiled batch when --batch-size is omitted.
+
+    3D: 128 (BENCH.md sweep — within ~2% of peak throughput at half the
+    latency of 256). 4D: 2, since each [H,W,D,T] sequence is ~200-400 MB
+    on the host. Those are per-host-memory choices, not mesh choices: a
+    compiled batch must shard over the mesh data axis, so under --mesh the
+    default rounds UP to the next data-axis multiple (the 4D default of 2
+    becomes dp on a 4-/8-chip data axis). An explicit --batch-size that
+    does not divide still raises in Predictor.__init__.
+    """
+    base = 2 if is_4d else 128
+    if mesh is not None:
+        from neurovit_tpu.parallel.mesh import DATA_AXIS
+        dp = mesh.shape[DATA_AXIS]
+        base = -(-base // dp) * dp
+    return base
+
+
 def main(argv=None) -> None:
     """``python -m neurovit_tpu.serving``: batch inference over NIfTI files.
 
@@ -385,17 +415,24 @@ def main(argv=None) -> None:
     buckets = (() if args.buckets == "" else
                None if args.buckets is None else
                tuple(int(b) for b in args.buckets.split(",")))
-    # 4D checkpoints default to a small compiled batch: each [H,W,D,T]
-    # sequence is ~200-400 MB on the host, so the 3D default of 128 would
-    # accumulate tens of GB per chunk (an explicit --batch-size wins).
     is_4d = int(config.get("TRAINING_DIM", 3)) == 4
-    batch_size = (args.batch_size if args.batch_size is not None
-                  else (2 if is_4d else 128))
     mesh = None
     if args.mesh:
+        if jax.process_count() > 1:
+            # The Predictor places request chunks with a plain device_put
+            # over the global mesh, which is wrong multi-host (each host
+            # would present its local volumes as the same global array —
+            # see parallel/sharding.py shard_batch). Serving stays
+            # single-host until a per-process request-sharding path exists.
+            parser.error("--mesh serving is single-host only "
+                         f"(jax.process_count()={jax.process_count()}); "
+                         "run one serving process per host without --mesh, "
+                         "or shard the manifest across hosts")
         from neurovit_tpu.parallel import create_mesh
         mesh = create_mesh(config)
         print(f"Serving over mesh {dict(mesh.shape)}")
+    batch_size = (args.batch_size if args.batch_size is not None
+                  else _default_batch_size(is_4d, mesh))
     predictor = Predictor.from_checkpoint(
         config, ckpt_path, batch_size=batch_size, quant=args.quant,
         host_transfer_dtype="bf16" if args.host_bf16 else None,

@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from neurovit_tpu.models import NeuroEncoder
 from neurovit_tpu.serving import Predictor
@@ -57,6 +58,45 @@ def test_predictor_mesh_parallel_matches_single_device(tiny_config, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         Predictor.from_checkpoint(tiny_config, path, batch_size=6, mesh=mesh)
+
+
+def test_mesh_bucket_filtering_warns_on_explicit_buckets(tiny_config):
+    """Explicit bucket_sizes dropped by the mesh data-axis divisibility
+    filter warn (silently voiding a user's latency contract is the failure
+    the buckets exist to prevent); the thinned DEFAULT set stays silent."""
+    import warnings
+
+    from neurovit_tpu.parallel import create_mesh
+
+    model = NeuroEncoder(tiny_config)
+    variables = model.init(jax.random.key(4))
+    mesh = create_mesh()                                   # dp=8
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        p = Predictor(model, variables, batch_size=16, mesh=mesh,
+                      bucket_sizes=(1, 2, 4, 8))
+    assert p.bucket_sizes == (8, 16)
+    assert any("dropped" in str(w.message) for w in caught)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        p = Predictor(model, variables, batch_size=16, mesh=mesh)  # defaults
+    assert p.bucket_sizes == (8, 16)
+    assert not caught
+
+
+def test_cli_default_batch_size_rounds_to_mesh():
+    """The CLI's default compiled batch rounds UP to a data-axis multiple
+    under --mesh (the 4D default of 2 would otherwise crash on dp=8)."""
+    from neurovit_tpu.parallel import create_mesh
+    from neurovit_tpu.serving import _default_batch_size
+
+    assert _default_batch_size(False) == 128
+    assert _default_batch_size(True) == 2
+    mesh = create_mesh()                                   # dp=8
+    assert _default_batch_size(True, mesh) == 8
+    assert _default_batch_size(False, mesh) == 128
 
 
 def test_predictor_host_bf16_transfer_equality(tiny_config, tmp_path):
@@ -128,6 +168,7 @@ def test_predictor_4d(tiny_config, tmp_path):
     np.testing.assert_allclose(probs_q, probs, atol=0.05)
 
 
+@pytest.mark.slow
 def test_serving_cli_mesh_matches_single_device(tiny_config, tmp_path):
     """--mesh: the CLI serves over the config's device mesh (the 8-device
     virtual CPU mesh here, dp=8) and writes the same predictions as the
@@ -326,9 +367,10 @@ def test_bucket_routing_int8_and_mesh(tiny_config, tmp_path):
     np.testing.assert_allclose(probs_b, probs_s, atol=1e-5)
 
     mesh = create_mesh()                         # 8 virtual devices, dp=8
-    p_mesh = Predictor.from_checkpoint(tiny_config, path, batch_size=16,
-                                       mesh=mesh, bucket_sizes=(1, 8))
-    assert p_mesh.bucket_sizes == (8, 16)        # 1 dropped (8 ∤ 1)
+    with pytest.warns(UserWarning, match="dropped"):
+        p_mesh = Predictor.from_checkpoint(tiny_config, path, batch_size=16,
+                                           mesh=mesh, bucket_sizes=(1, 8))
+    assert p_mesh.bucket_sizes == (8, 16)        # 1 dropped (8 ∤ 1), warned
     calls = _recording_forward(p_mesh)
     p_one = Predictor.from_checkpoint(tiny_config, path, batch_size=16)
     _, probs_m = p_mesh(vols)
