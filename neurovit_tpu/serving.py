@@ -352,6 +352,43 @@ def _default_batch_size(is_4d: bool, mesh=None) -> int:
     return base
 
 
+def predictor_from_cli_args(parser, args, config) -> "Predictor":
+    """Shared flag→Predictor plumbing for the two serving entry points
+    (this module's batch CLI and ``serving_http``): checkpoint resolution
+    (``--checkpoint`` else config ``BEST_MODEL_PATH``), ``--buckets``
+    parsing ('' disables, None keeps the power-of-two default), the
+    ``--mesh`` single-host guard + mesh creation, and the mode/mesh-aware
+    default batch size. ``parser`` is only used to report usage errors.
+    """
+    ckpt_path = args.checkpoint or os.path.join(
+        config.get("GLOBAL_BASE_PATH", "."), config["BEST_MODEL_PATH"])
+    buckets = (() if args.buckets == "" else
+               None if args.buckets is None else
+               tuple(int(b) for b in args.buckets.split(",")))
+    is_4d = int(config.get("TRAINING_DIM", 3)) == 4
+    mesh = None
+    if args.mesh:
+        if jax.process_count() > 1:
+            # The Predictor places request chunks with a plain device_put
+            # over the global mesh, which is wrong multi-host (each host
+            # would present its local volumes as the same global array —
+            # see parallel/sharding.py shard_batch). Serving stays
+            # single-host until a per-process request-sharding path exists.
+            parser.error("--mesh serving is single-host only "
+                         f"(jax.process_count()={jax.process_count()}); "
+                         "run one serving process per host without --mesh, "
+                         "or shard the manifest across hosts")
+        from neurovit_tpu.parallel import create_mesh
+        mesh = create_mesh(config)
+        print(f"Serving over mesh {dict(mesh.shape)}")
+    batch_size = (args.batch_size if args.batch_size is not None
+                  else _default_batch_size(is_4d, mesh))
+    return Predictor.from_checkpoint(
+        config, ckpt_path, batch_size=batch_size, quant=args.quant,
+        host_transfer_dtype="bf16" if args.host_bf16 else None,
+        bucket_sizes=buckets, mesh=mesh)
+
+
 def main(argv=None) -> None:
     """``python -m neurovit_tpu.serving``: batch inference over NIfTI files.
 
@@ -410,33 +447,7 @@ def main(argv=None) -> None:
     config = load_config(args.config)
     from neurovit_tpu.utils import compile_cache
     compile_cache.maybe_enable(config)
-    ckpt_path = args.checkpoint or os.path.join(
-        config.get("GLOBAL_BASE_PATH", "."), config["BEST_MODEL_PATH"])
-    buckets = (() if args.buckets == "" else
-               None if args.buckets is None else
-               tuple(int(b) for b in args.buckets.split(",")))
-    is_4d = int(config.get("TRAINING_DIM", 3)) == 4
-    mesh = None
-    if args.mesh:
-        if jax.process_count() > 1:
-            # The Predictor places request chunks with a plain device_put
-            # over the global mesh, which is wrong multi-host (each host
-            # would present its local volumes as the same global array —
-            # see parallel/sharding.py shard_batch). Serving stays
-            # single-host until a per-process request-sharding path exists.
-            parser.error("--mesh serving is single-host only "
-                         f"(jax.process_count()={jax.process_count()}); "
-                         "run one serving process per host without --mesh, "
-                         "or shard the manifest across hosts")
-        from neurovit_tpu.parallel import create_mesh
-        mesh = create_mesh(config)
-        print(f"Serving over mesh {dict(mesh.shape)}")
-    batch_size = (args.batch_size if args.batch_size is not None
-                  else _default_batch_size(is_4d, mesh))
-    predictor = Predictor.from_checkpoint(
-        config, ckpt_path, batch_size=batch_size, quant=args.quant,
-        host_transfer_dtype="bf16" if args.host_bf16 else None,
-        bucket_sizes=buckets, mesh=mesh)
+    predictor = predictor_from_cli_args(parser, args, config)
 
     # Stream compiled-batch-sized chunks through the predictor: memory
     # stays bounded at batch_size volumes regardless of manifest length
@@ -473,12 +484,12 @@ def main(argv=None) -> None:
         # of volumes beyond the chunk being assembled; sequences are big —
         # keep only 2 in flight).
         for path, t, vol in _prefetch_jobs(
-                jobs, depth=2 if sequence else batch_size):
+                jobs, depth=2 if sequence else predictor.batch_size):
             if chunk_vols and vol.shape != chunk_vols[0].shape:
                 flush(f)          # new T (or spatial shape): its own batch
             chunk_meta.append((path, t))
             chunk_vols.append(vol)
-            if len(chunk_vols) == batch_size:
+            if len(chunk_vols) == predictor.batch_size:
                 flush(f)
         flush(f)
     if n_rows == 0:

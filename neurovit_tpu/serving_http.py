@@ -13,6 +13,10 @@ instead of N. Single requests still ride the b=1 bucket at the measured
     python -m neurovit_tpu.serving_http --config config.yaml --port 8000
     curl -s --data-binary @scan.nii localhost:8000/predict | jq .
 
+Takes the batch CLI's serving flags (``--mesh`` device-mesh serving,
+``--quant int8``, ``--host-bf16``, ``--buckets``) through the shared
+:func:`neurovit_tpu.serving.predictor_from_cli_args` plumbing.
+
 Endpoints:
   GET  /healthz            liveness + model/bucket metadata (JSON)
   POST /predict[?crop=0]   body = one NIfTI (.nii or gzipped .nii.gz);
@@ -34,7 +38,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from neurovit_tpu.serving import (Predictor, _collect_volume_jobs,
-                                  _default_batch_size)
+                                  predictor_from_cli_args)
 
 # Gzip magic: POST bodies are sniffed, not extension-typed — a client
 # streaming a .nii.gz needs no content-type negotiation.
@@ -255,6 +259,11 @@ def main(argv=None) -> None:
                              "MXU; BENCH.md 'int8 serving mode')")
     parser.add_argument("--host-bf16", action="store_true",
                         help="ship volumes to the device as bfloat16")
+    parser.add_argument("--mesh", action="store_true",
+                        help="serve over the config's device mesh (same "
+                             "keys as the trainer / batch CLI): coalesced "
+                             "steps shard over the data axis, TP/pipe "
+                             "axes split the ViT block weights")
     parser.add_argument("--no-warmup", action="store_true",
                         help="skip precompiling every bucket at startup "
                              "(first requests then pay the compiles)")
@@ -263,18 +272,7 @@ def main(argv=None) -> None:
     config = load_config(args.config)
     from neurovit_tpu.utils import compile_cache
     compile_cache.maybe_enable(config)
-    ckpt_path = args.checkpoint or os.path.join(
-        config.get("GLOBAL_BASE_PATH", "."), config["BEST_MODEL_PATH"])
-    buckets = (() if args.buckets == "" else
-               None if args.buckets is None else
-               tuple(int(b) for b in args.buckets.split(",")))
-    is_4d = int(config.get("TRAINING_DIM", 3)) == 4
-    batch_size = (args.batch_size if args.batch_size is not None
-                  else _default_batch_size(is_4d))
-    predictor = Predictor.from_checkpoint(
-        config, ckpt_path, batch_size=batch_size, quant=args.quant,
-        host_transfer_dtype="bf16" if args.host_bf16 else None,
-        bucket_sizes=buckets)
+    predictor = predictor_from_cli_args(parser, args, config)
     if not args.no_warmup:
         print(f"Precompiling buckets {predictor.bucket_sizes} ...")
         predictor.warmup()

@@ -196,6 +196,49 @@ def test_microbatcher_coalesces_concurrent_requests(tiny_config):
         batcher.stop()
 
 
+def test_http_mesh_serving_matches_single_device(tiny_config, tmp_path):
+    """`--mesh` on the HTTP server (shared `predictor_from_cli_args`
+    plumbing with the batch CLI): coalesced steps shard over the mesh data
+    axis and return the single-device probabilities."""
+    import argparse
+
+    from neurovit_tpu.data import nifti
+    from neurovit_tpu.serving import predictor_from_cli_args
+    from neurovit_tpu.training import state_dict as sd
+
+    model = NeuroEncoder(tiny_config)
+    variables = model.init(jax.random.key(21))
+    ckpt = str(tmp_path / "model.pkl")
+    sd.save(ckpt, sd.to_state_dict(model, variables["params"]))
+
+    parser = argparse.ArgumentParser()
+    args = argparse.Namespace(checkpoint=ckpt, buckets="", batch_size=8,
+                              quant=None, host_bf16=False, mesh=True)
+    predictor = predictor_from_cli_args(parser, args, tiny_config)
+    assert predictor.mesh is not None
+    assert predictor.batch_size == 8
+
+    path = str(tmp_path / "scan.nii")
+    vol4 = np.random.RandomState(17).randn(21, 39, 21, 3).astype(np.float32)
+    nifti.save(path, vol4)
+    solo = Predictor.from_checkpoint(tiny_config, ckpt, batch_size=8,
+                                     bucket_sizes=())
+    exp_labels, exp_probs = solo(
+        np.stack([v for _, _, v in _collect_volume_jobs([path], crop=True)]))
+
+    server, batcher, url = _start(predictor)
+    try:
+        status, payload = _post(url + "/predict", open(path, "rb").read())
+        assert status == 200
+        rows = payload["rows"]
+        assert [r["prediction"] for r in rows] == [int(v) for v in exp_labels]
+        np.testing.assert_allclose(
+            np.array([r["probs"] for r in rows]), exp_probs, atol=1e-5)
+    finally:
+        server.shutdown()
+        batcher.stop()
+
+
 def test_microbatcher_propagates_prediction_errors(tiny_config):
     """A failing step errors every caller in the group instead of hanging
     them (the Event is set on the error path too)."""
