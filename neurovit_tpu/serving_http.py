@@ -221,8 +221,17 @@ def make_server(predictor: Predictor, host: str = "127.0.0.1",
         def log_message(self, fmt, *fmt_args):  # quiet request log
             pass
 
+    class Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog is 5; HTTP/1.1 clients open
+        # a fresh connection per request, so a burst of concurrent clients
+        # overflows the accept queue and the kernel RESETs the overflow
+        # (measured: 16 barrier-synced clients in scripts/bench_http.py).
+        # The whole point of this server is coalescing co-arriving
+        # requests — size the backlog for bursts.
+        request_queue_size = 128
+
     try:
-        server = ThreadingHTTPServer((host, port), Handler)
+        server = Server((host, port), Handler)
     except OSError:
         batcher.stop()                 # don't leak the dispatcher thread
         raise

@@ -72,13 +72,7 @@ def main():
 
     model = NeuroEncoder(config)
     variables = model.init(jax.random.key(0))
-    if quant:
-        from neurovit_tpu.ops import int8_serving
-        params = dict(variables["params"])
-        ve = dict(params["volume_encoder"])
-        ve["blocks"] = int8_serving.quantize_blocks(ve["blocks"])
-        params["volume_encoder"] = ve
-        variables = {**variables, "params": params}
+    # quant="int8" makes the Predictor quantize the block weights itself.
     # Explicit buckets (vs the power-of-two default) keep warmup to five
     # compiles; 1/8/16/32 cover the single-client and concurrent phases.
     predictor = Predictor(model, variables, batch_size=128, quant=quant,

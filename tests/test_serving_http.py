@@ -196,6 +196,57 @@ def test_microbatcher_coalesces_concurrent_requests(tiny_config):
         batcher.stop()
 
 
+def test_http_concurrent_burst_no_resets(tiny_config, tmp_path):
+    """A barrier-synced burst of clients (each a fresh TCP connection, the
+    HTTP/1.1 one-request-per-connection pattern) all get 200s: the server's
+    listen backlog is sized for bursts (socketserver's default of 5 made
+    the kernel RESET the overflow under 16 co-arriving clients — measured
+    by scripts/bench_http.py on-chip)."""
+    from neurovit_tpu.data import nifti
+
+    model = NeuroEncoder(tiny_config)
+    variables = model.init(jax.random.key(3))
+    predictor = Predictor(model, variables, batch_size=16,
+                          bucket_sizes=(1, 4, 16))
+
+    path = str(tmp_path / "scan.nii")
+    vol = np.random.RandomState(2).randn(21, 39, 21).astype(np.float32)
+    nifti.save(path, vol)
+    body = open(path, "rb").read()
+
+    server, batcher, url = _start(predictor, window=0.02)
+    assert type(server).request_queue_size >= 64
+    n = 12
+    barrier = threading.Barrier(n)
+    results = [None] * n
+
+    def client(i):
+        try:
+            barrier.wait()
+            results[i] = _post(url + "/predict", body)
+        except BaseException as exc:
+            results[i] = exc
+
+    try:
+        _post(url + "/predict", body)              # route warm
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        bad = [r for r in results if not isinstance(r, tuple)]
+        assert not bad, f"burst requests failed: {bad[:3]}"
+        first = results[0][1]["rows"][0]["probs"]
+        for status, payload in results:
+            assert status == 200
+            np.testing.assert_allclose(payload["rows"][0]["probs"], first,
+                                       atol=1e-6)
+    finally:
+        server.shutdown()
+        batcher.stop()
+
+
 def test_http_mesh_serving_matches_single_device(tiny_config, tmp_path):
     """`--mesh` on the HTTP server (shared `predictor_from_cli_args`
     plumbing with the batch CLI): coalesced steps shard over the mesh data
